@@ -1,0 +1,107 @@
+"""Cyclic redundancy checks, batched over messages as a JAX op.
+
+The reference pins the payload check to liquid's ``LIQUID_CRC_24``
+(lib/flex_tx_impl.cc:52); per-frame ``payload_valid`` is the CRC pass flag
+that feeds the cognitive engine's reward (python/cognitive_engine.py:86-89).
+
+Framework spec: CRC-24/OPENPGP — polynomial 0x864CFB, init 0xB704CE,
+no reflection, no final xor, 3-byte checksum appended big-endian. CRC-16
+(CCITT 0x1021, init 0xFFFF) and CRC-32 (reflected 0xEDB88320) are provided
+for completeness of the check family.
+
+Implementation: byte-at-a-time table lookup. The 256-entry table is a
+compile-time constant; the per-byte update is a ``lax.scan`` over message
+length with the batch dimension vectorized on the VPU (gather + shifts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CRC24_POLY = 0x864CFB
+CRC24_INIT = 0xB704CE
+CRC16_POLY = 0x1021
+CRC16_INIT = 0xFFFF
+
+
+@functools.lru_cache(maxsize=None)
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    """MSB-first CRC table: table[b] = CRC update of byte b from zero state."""
+    topbit = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = np.zeros(256, dtype=np.uint32)
+    for b in range(256):
+        reg = b << (width - 8)
+        for _ in range(8):
+            reg = ((reg << 1) ^ poly) if (reg & topbit) else (reg << 1)
+            reg &= mask
+        table[b] = reg
+    return table
+
+
+def _crc_host(data: bytes, poly: int, width: int, init: int) -> int:
+    table = _crc_table(poly, width)
+    mask = (1 << width) - 1
+    reg = init
+    for byte in data:
+        idx = ((reg >> (width - 8)) ^ byte) & 0xFF
+        reg = ((reg << 8) ^ int(table[idx])) & mask
+    return reg
+
+
+def crc24_host(data: bytes) -> int:
+    """Scalar host reference (oracle for the batched op)."""
+    return _crc_host(data, CRC24_POLY, 24, CRC24_INIT)
+
+
+def crc16_host(data: bytes) -> int:
+    return _crc_host(data, CRC16_POLY, 16, CRC16_INIT)
+
+
+def _crc_jax(msg_bytes: jax.Array, poly: int, width: int, init: int) -> jax.Array:
+    """Batched CRC over uint8 messages [..., L] -> uint32 [...]."""
+    table = jnp.asarray(_crc_table(poly, width), dtype=jnp.uint32)
+    mask = jnp.uint32((1 << width) - 1)
+    shift = width - 8
+    msg = msg_bytes.astype(jnp.uint32)
+    batch_shape = msg.shape[:-1]
+    init_reg = jnp.full(batch_shape, init, dtype=jnp.uint32)
+
+    def step(reg, byte):
+        idx = ((reg >> shift) ^ byte) & jnp.uint32(0xFF)
+        reg = ((reg << 8) ^ table[idx]) & mask
+        return reg, None
+
+    # scan over the length axis; batch dims ride along vectorized
+    reg, _ = jax.lax.scan(step, init_reg, jnp.moveaxis(msg, -1, 0))
+    return reg
+
+
+def crc24(msg_bytes: jax.Array) -> jax.Array:
+    """CRC-24 over uint8 [..., L] -> uint32 [...]."""
+    return _crc_jax(msg_bytes, CRC24_POLY, 24, CRC24_INIT)
+
+
+def crc16(msg_bytes: jax.Array) -> jax.Array:
+    return _crc_jax(msg_bytes, CRC16_POLY, 16, CRC16_INIT)
+
+
+def crc24_append(msg_bytes: jax.Array) -> jax.Array:
+    """Append the 3-byte big-endian CRC-24: [..., L] -> [..., L+3]."""
+    c = crc24(msg_bytes)
+    tail = jnp.stack(
+        [(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF], axis=-1
+    ).astype(jnp.uint8)
+    return jnp.concatenate([msg_bytes, tail], axis=-1)
+
+
+def crc24_check(msg_with_crc: jax.Array) -> jax.Array:
+    """Validate trailing CRC-24: [..., L+3] -> bool [...]."""
+    body = msg_with_crc[..., :-3]
+    tail = msg_with_crc[..., -3:].astype(jnp.uint32)
+    expect = (tail[..., 0] << 16) | (tail[..., 1] << 8) | tail[..., 2]
+    return crc24(body) == expect

@@ -1,0 +1,205 @@
+"""Batched preamble frame detector — the reference's frame_detector_cc /
+liquid qdetector_cccf analog, redesigned block-dense for TPU.
+
+The reference pushes samples one at a time through an FFT correlator
+(lib/frame_detector_cc_impl.cc:76-83, template built at cc:46-55, threshold
+0.45 at cc:55). Here a whole block [B, T] is correlated at once:
+
+1. overlap-save FFT cross-correlation of the block against F frequency-shifted
+   copies of the 128-sample pulse-shaped preamble template (multi-bin CFO
+   tolerance, like qdetector's multi-bin search);
+2. normalized correlation rho^2[tau] = max_f |c_f[tau]|^2 / (E_s * E_x[tau])
+   with a sliding-window signal energy;
+3. local-max suppression + threshold + top-K candidate extraction
+   (static K: variable-rate detections as fixed slots + validity mask);
+4. per-candidate estimates, the qdetector getters the reference intended to
+   use (commented at lib/frame_detector_cc_impl.cc:89-93):
+   tau_hat (fractional timing, parabolic interp), gamma_hat (gain),
+   dphi_hat (CFO: coarse bin + fine dual-half phase slope), phi_hat (phase).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liquiddsp_tpu.ops import msequence, rrc
+from liquiddsp_tpu.phy import frame_spec as fs
+
+TEMPLATE_LEN = fs.K_SAMP * fs.PREAMBLE_SYMS  # 128 samples
+DEFAULT_THRESHOLD = 0.45  # lib/frame_detector_cc_impl.cc:55
+NFFT = 512  # overlap-save chunk
+HOP = NFFT - TEMPLATE_LEN + 1  # valid lags per chunk
+CFO_BINS = (-2, -1, 0, 1, 2)  # frequency offsets in units of 2*pi/NFFT... see below
+# CFO bin spacing: one bin = 2*pi/TEMPLATE_LEN rad/sample after wrap — use
+# template-length granularity so adjacent bins overlap at ~3 dB.
+
+
+@functools.lru_cache(maxsize=None)
+def template() -> np.ndarray:
+    """The 128-sample pulse-shaped preamble template (data-independent
+    prefix of every frame; see phy/frame_spec.py)."""
+    pre = msequence.preamble_symbols()
+    h = rrc.matched_taps()
+    up = np.zeros(fs.K_SAMP * len(pre), dtype=np.complex64)
+    up[:: fs.K_SAMP] = pre
+    wave = np.convolve(up, h)
+    return wave[:TEMPLATE_LEN].astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _template_bank() -> np.ndarray:
+    """Frequency-shifted conjugated template FFTs [F, NFFT] complex64."""
+    s = template()
+    n = np.arange(TEMPLATE_LEN)
+    bank = []
+    for b in CFO_BINS:
+        shift = np.exp(1j * 2.0 * np.pi * b * n / (2 * TEMPLATE_LEN))
+        sf = (s * shift).astype(np.complex64)
+        bank.append(np.fft.fft(sf, NFFT).conj())
+    return np.stack(bank).astype(np.complex64)
+
+
+def cfo_of_bin(b: int) -> float:
+    """Carrier offset (rad/sample) of CFO bin index b."""
+    return 2.0 * np.pi * b / (2 * TEMPLATE_LEN)
+
+
+@dataclasses.dataclass
+class Detections:
+    """Top-K frame-start candidates per batch row (static shapes + masks)."""
+
+    mask: jax.Array  # [B, K] bool — candidate valid
+    start: jax.Array  # [B, K] int32 — frame start sample index
+    rho: jax.Array  # [B, K] float32 — normalized correlation amplitude
+    gamma: jax.Array  # [B, K] float32 — gain estimate
+    dphi: jax.Array  # [B, K] float32 — CFO estimate (rad/sample)
+    phi: jax.Array  # [B, K] float32 — carrier phase at frame start
+    tau: jax.Array  # [B, K] float32 — fractional timing (-0.5..0.5 samples)
+
+
+def correlate(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Overlap-save correlation of [B, T] against the template bank.
+
+    Returns (corr [B, F, T] complex64 — <x[t:t+128], s_f>, energy [B, T]
+    float32 — sliding 128-window energy). Lags T-127..T-1 are zero-padded.
+    """
+    b, t = x.shape
+    nchunks = -(-t // HOP)
+    pad_t = nchunks * HOP + TEMPLATE_LEN - 1
+    xp = jnp.pad(x, ((0, 0), (0, pad_t - t)))
+    # chunk i covers samples [i*HOP, i*HOP + NFFT)
+    idx = (jnp.arange(nchunks) * HOP)[:, None] + jnp.arange(NFFT)[None, :]
+    chunks = xp[:, idx]  # [B, nchunks, NFFT]
+    cf = jnp.fft.fft(chunks, axis=-1)
+    bank = jnp.asarray(_template_bank())  # [F, NFFT]
+    prod = cf[:, :, None, :] * bank[None, None, :, :]
+    corr = jnp.fft.ifft(prod, axis=-1)[..., :HOP]  # valid lags
+    corr = jnp.moveaxis(corr, 2, 1).reshape(b, len(CFO_BINS), nchunks * HOP)
+    corr = corr[..., :t].astype(jnp.complex64)
+    # sliding window energy over 128 samples
+    p = jnp.abs(xp) ** 2
+    cs = jnp.cumsum(p, axis=-1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0)))
+    energy = cs[:, TEMPLATE_LEN:] - cs[:, :-TEMPLATE_LEN]  # [B, pad_t-127]
+    energy = energy[:, :t]
+    return corr, energy
+
+
+def detect(
+    x: jax.Array,
+    max_frames: int,
+    threshold: float = DEFAULT_THRESHOLD,
+    min_spacing: int = TEMPLATE_LEN,
+) -> Detections:
+    """Find up to ``max_frames`` preamble hits in [B, T] samples.
+
+    Static output shapes; invalid slots are masked. ``min_spacing`` is the
+    local-max suppression radius (a frame start suppresses weaker hits within
+    +/- min_spacing samples).
+    """
+    b, t = x.shape
+    corr, energy = correlate(x)
+    es = float(np.sum(np.abs(template()) ** 2))
+    c2 = jnp.abs(corr) ** 2  # [B, F, T]
+    best_f = jnp.argmax(c2, axis=1)  # [B, T]
+    c2max = jnp.max(c2, axis=1)
+    rho2 = c2max / (es * jnp.maximum(energy, 1e-12))
+    rho2 = jnp.where(energy > 1e-9, rho2, 0.0)
+
+    # local-max suppression via max-pool over +/- min_spacing
+    window = 2 * min_spacing + 1
+    pooled = jax.lax.reduce_window(
+        rho2,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window),
+        window_strides=(1, 1),
+        padding=((0, 0), (min_spacing, min_spacing)),
+    )
+    is_peak = (rho2 >= pooled) & (rho2 > threshold * threshold)
+    score = jnp.where(is_peak, rho2, -1.0)
+    top_rho2, start = jax.lax.top_k(score, max_frames)  # [B, K]
+    mask = top_rho2 > 0
+
+    # gather per-candidate quantities
+    bidx = jnp.arange(b)[:, None]
+    fbin = best_f[bidx, start]  # [B, K]
+    corr_at_start = jnp.take_along_axis(corr, start[:, None, :], axis=2)  # [B, F, K]
+    cpk = jnp.take_along_axis(corr_at_start, fbin[:, None, :], axis=1)[:, 0, :]  # [B, K]
+    epk = jnp.take_along_axis(energy, start, axis=1)
+    gamma = jnp.sqrt(jnp.maximum(epk, 1e-12) / es)
+    phi = jnp.angle(cpk)
+
+    # fractional timing: parabolic interpolation of rho2 around the peak
+    t_idx = jnp.clip(start, 1, t - 2)
+    ym = jnp.take_along_axis(rho2, t_idx - 1, axis=1)
+    y0 = jnp.take_along_axis(rho2, t_idx, axis=1)
+    yp = jnp.take_along_axis(rho2, t_idx + 1, axis=1)
+    denom = ym - 2 * y0 + yp
+    tau = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
+    tau = jnp.clip(tau, -0.5, 0.5)
+
+    # CFO: coarse (best bin) + fine (dual-half correlation phase slope)
+    coarse = jnp.asarray([cfo_of_bin(bb) for bb in CFO_BINS], dtype=jnp.float32)[fbin]
+    s = jnp.asarray(template())
+    half = TEMPLATE_LEN // 2
+
+    def halves(xrow, srow_start):
+        win = jax.lax.dynamic_slice_in_dim(xrow, srow_start, TEMPLATE_LEN)
+        return win
+
+    wins = jax.vmap(
+        lambda xrow, starts: jax.vmap(lambda s0: halves(xrow, s0))(starts)
+    )(jnp.pad(x, ((0, 0), (0, TEMPLATE_LEN))), jnp.clip(start, 0, t - 1))
+    # [B, K, 128]; derotate by coarse CFO before fine estimate
+    n = jnp.arange(TEMPLATE_LEN, dtype=jnp.float32)
+    derot = jnp.exp(-1j * coarse[..., None] * n)
+    wins_d = wins * derot
+    c1 = jnp.sum(wins_d[..., :half] * jnp.conj(s[:half]), axis=-1)
+    c2_ = jnp.sum(wins_d[..., half:] * jnp.conj(s[half:]), axis=-1)
+    fine = jnp.angle(c2_ * jnp.conj(c1)) / half
+    dphi = coarse + fine
+
+    return Detections(
+        mask=mask,
+        start=start.astype(jnp.int32),
+        rho=jnp.sqrt(jnp.maximum(top_rho2, 0.0)),
+        gamma=gamma.astype(jnp.float32),
+        dphi=dphi.astype(jnp.float32),
+        phi=phi.astype(jnp.float32),
+        tau=tau.astype(jnp.float32),
+    )
+
+
+def frame_detector_cc(x: jax.Array, max_frames: int = 16, threshold: float = DEFAULT_THRESHOLD):
+    """Stream-block API parity with the reference's frame_detector_cc
+    (1-in/1-out passthrough + detection count,
+    lib/frame_detector_cc_impl.cc:66-97): returns (passthrough, num_detected,
+    detections)."""
+    det = detect(x, max_frames, threshold)
+    return x, jnp.sum(det.mask, axis=-1), det

@@ -1,0 +1,239 @@
+"""Frame synchronizer (RX): the reference's flex_rx / liquid flexframesync
+analog, restructured block-dense for TPU.
+
+liquid's flexframesync is a per-sample sequential state machine (AGC ->
+qdetector -> NCO mix -> matched-filter decim -> header demod/decode ->
+payload demod/decode -> callback; SURVEY.md section 3.2). The TPU design
+processes a whole block [B, T] at once (SURVEY.md section 7.3):
+
+1. dense preamble detection over the block (phy/detector.py) -> top-K
+   candidate frame starts with tau/gamma/dphi/phi estimates;
+2. per-candidate frame extraction (static max length) + NCO derotation +
+   gain normalization;
+3. matched filter with a fractional-delay RRC bank (timing recovery) +
+   k=2 decimation -> symbol estimates;
+4. header demod (QPSK) -> Golay decode -> CRC24 -> header_valid + config
+   fields (self-describing frames, like flexframesync's header-driven payload
+   config at lib/flex_rx_impl.cc:232-234);
+5. decision-directed carrier refinement on the header symbols, then payload
+   demod -> deinterleave -> inner (Viterbi) -> outer decode -> CRC24 ->
+   payload_valid.
+
+Outputs mirror the reference's per-frame callback payload
+(lib/flex_rx_impl.cc:181-201 packet_info): header/payload bytes, validity
+flags, config indices, frame symbols ("constellation" port), EVM/RSSI stats.
+All shapes are static: [B, K] frame slots with validity masks.
+
+Single-config fast path: ``framesync_fixed`` decodes payloads assuming one
+static (mod, fec) config — the bench/streaming path. The header-dispatched
+multi-config path lives in runtime/blocks.py (host dispatch over compiled
+per-config decoders, cached — no recompiles in the adaptation loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liquiddsp_tpu.core.config import MOD_BPS, FrameConfig
+from liquiddsp_tpu.ops import bits as bitops
+from liquiddsp_tpu.ops import crc, modem, rrc
+from liquiddsp_tpu.ops.fec import registry
+from liquiddsp_tpu.ops.fec.block import golay2412
+from liquiddsp_tpu.phy import frame_spec as fs
+from liquiddsp_tpu.phy.detector import Detections, detect
+
+NUM_TIMING_PHASES = 32
+
+
+@dataclasses.dataclass
+class FrameResults:
+    """Per-candidate decode results, [B, K] slots (masked)."""
+
+    mask: jax.Array  # [B, K] bool — detection valid
+    header_valid: jax.Array  # [B, K] bool — header CRC passed
+    payload_valid: jax.Array  # [B, K] bool — payload CRC passed
+    modulation: jax.Array  # [B, K] int32 — from decoded header
+    inner_code: jax.Array  # [B, K] int32
+    outer_code: jax.Array  # [B, K] int32
+    payload_len: jax.Array  # [B, K] int32
+    header_user: jax.Array  # [B, K, 14] uint8
+    payload: jax.Array  # [B, K, payload_len] uint8
+    symbols: jax.Array  # [B, K, n_syms] complex64 — the constellation port
+    evm: jax.Array  # [B, K] float32 — header-symbol EVM (dB)
+    rssi: jax.Array  # [B, K] float32 — estimated gain (dB)
+    start: jax.Array  # [B, K] int32 — frame start sample
+
+
+# ---------------------------------------------------------------------------
+# candidate extraction + symbol recovery
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _timing_bank() -> np.ndarray:
+    return rrc.fractional_delay_bank(NUM_TIMING_PHASES)
+
+
+def extract_symbols(x: jax.Array, det: Detections, n_syms: int) -> jax.Array:
+    """Recover [B, K, n_syms] symbol estimates for each candidate frame.
+
+    Applies gain normalization, NCO derotation (CFO + phase), matched
+    filtering with the per-candidate fractional-delay filter, and k=2
+    decimation. ``n_syms`` is static (max frame symbols).
+    """
+    b, t = x.shape
+    k_samp = fs.K_SAMP
+    n_samples = k_samp * n_syms + fs.PULSE_TAIL
+    xp = jnp.pad(x, ((0, 0), (0, n_samples)))
+
+    def one(xrow, start, gamma, dphi, phi, tau):
+        win = jax.lax.dynamic_slice_in_dim(xrow, start, n_samples)
+        n = jnp.arange(n_samples, dtype=jnp.float32)
+        nco = jnp.exp(-1j * (dphi * n + phi))
+        win = win * nco / jnp.maximum(gamma, 1e-9)
+        # timing: tau in [-0.5, 0.5] samples; bank phase p shifts sampling by
+        # +p/P samples. Use p = round(tau*P) mod P with integer base shift.
+        p = jnp.round(tau * NUM_TIMING_PHASES).astype(jnp.int32)
+        base = jnp.where(p < 0, 1, 0)  # negative tau: shift window right once
+        p = jnp.where(p < 0, p + NUM_TIMING_PHASES, p)
+        bank = jnp.asarray(_timing_bank())  # [P, 29]
+        taps = bank[p][::-1]  # convolution kernel (flipped)
+        # windowed dot products at symbol strides:
+        # sym[i] = sum_m win[k*i + base + m] * taps[m]... via conv
+        re = jnp.convolve(jnp.real(win), bank[p], mode="full")
+        im = jnp.convolve(jnp.imag(win), bank[p], mode="full")
+        y = re + 1j * im
+        off = fs.PULSE_TAIL + base
+        sym = jax.lax.dynamic_slice_in_dim(y, off, k_samp * n_syms)[::k_samp]
+        return sym.astype(jnp.complex64)
+
+    return jax.vmap(
+        lambda xrow, s_, g_, d_, p_, t_: jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))(
+            xrow, s_, g_, d_, p_, t_
+        )
+    )(xp, det.start, det.gamma, det.dphi, det.phi, det.tau)
+
+
+def decode_header(hdr_syms: jax.Array):
+    """[..., 180] header symbols -> (header_valid, user_bytes[...,14],
+    payload_len, modulation, inner, outer)."""
+    idx = modem.demod_hard(hdr_syms, fs.HEADER_MOD)
+    coded = modem.indices_to_bits(idx, 2)  # [..., 360]
+    bits = golay2412().decode(coded)[..., : fs.HEADER_BITS]
+    hdr = bitops.bits_to_bytes(bits)  # [..., 22]
+    valid = crc.crc24_check(hdr)
+    user = hdr[..., : fs.HEADER_USER_BYTES]
+    plen = (hdr[..., 14].astype(jnp.int32) << 8) | hdr[..., 15].astype(jnp.int32)
+    mod = hdr[..., 16].astype(jnp.int32)
+    inner = hdr[..., 17].astype(jnp.int32)
+    outer = hdr[..., 18].astype(jnp.int32)
+    return valid, user, plen, mod, inner, outer
+
+
+def _refine_carrier(syms: jax.Array, hdr_syms_ref: jax.Array) -> jax.Array:
+    """Decision-directed residual carrier correction using header symbols.
+
+    Estimates residual phase + frequency from the known-modulus header
+    region and derotates the whole symbol stream. syms: [..., n_syms];
+    hdr_syms_ref: decided header symbols [..., 180].
+    """
+    h0 = fs.PREAMBLE_SYMS
+    h1 = h0 + fs.HEADER_SYMS
+    rx_hdr = syms[..., h0:h1]
+    err = rx_hdr * jnp.conj(hdr_syms_ref)
+    half = fs.HEADER_SYMS // 2
+    p1 = jnp.sum(err[..., :half], axis=-1)
+    p2 = jnp.sum(err[..., half:], axis=-1)
+    dphi_sym = jnp.angle(p2 * jnp.conj(p1)) / half  # rad/symbol residual
+    phi0 = jnp.angle(p1 + p2)
+    n = jnp.arange(syms.shape[-1], dtype=jnp.float32) - (h0 + fs.HEADER_SYMS / 2 - 0.5)
+    corr = jnp.exp(-1j * (phi0[..., None] + dphi_sym[..., None] * n))
+    return syms * corr
+
+
+# ---------------------------------------------------------------------------
+# fixed-config framesync (bench / single-config path)
+# ---------------------------------------------------------------------------
+
+
+def framesync_fixed(
+    x: jax.Array,
+    cfg: FrameConfig,
+    max_frames: int,
+    threshold: float = 0.45,
+    refine: bool = True,
+) -> FrameResults:
+    """Full RX for blocks known to carry frames of one static config.
+
+    [B, T] samples -> FrameResults with [B, K] slots. Frames straddling the
+    block end are not decoded (handled by the streaming runtime's overlap
+    carry — runtime/stream.py).
+    """
+    spec = fs.FrameSpec(cfg)
+    det = detect(x, max_frames, threshold)
+    syms = extract_symbols(x, det, spec.frame_syms)  # [B, K, n_syms]
+
+    h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
+    hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
+
+    if refine:
+        hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
+        hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
+        syms = _refine_carrier(syms, hdr_ref)
+        hdr_valid2, user2, plen2, mod2, inner2, outer2 = decode_header(syms[..., h0:h1])
+        # keep refined decode where it succeeds, else original
+        use2 = hdr_valid2
+        hdr_valid = hdr_valid | hdr_valid2
+        user = jnp.where(use2[..., None], user2, user)
+        plen = jnp.where(use2, plen2, plen)
+        mod = jnp.where(use2, mod2, mod)
+        inner = jnp.where(use2, inner2, inner)
+        outer = jnp.where(use2, outer2, outer)
+
+    # payload: static config path
+    pay = syms[..., h1 : h1 + spec.payload_syms]
+    noise_var = 0.1
+    llr = modem.demod_soft_bits(pay, cfg.modulation, noise_var)
+    llr = llr[..., : spec.inner_bits]  # drop modulation pad bits
+    inv = jnp.asarray(fs.interleave_inv(spec.inner_bits))
+    llr = llr[..., inv]
+    obits = registry.inner_decode(llr, spec.outer_bits, cfg.inner_code)
+    msg = registry.outer_decode(obits, spec.payload_msg_bytes, cfg.outer_code)
+    pay_valid = crc.crc24_check(msg) & hdr_valid
+    payload = msg[..., : cfg.payload_len]
+
+    # header EVM (dB) and RSSI (dB) — framesyncstats_s analog
+    # (lib/flex_rx_impl.cc:198, 218)
+    hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
+    hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
+    evm_lin = jnp.mean(jnp.abs(syms[..., h0:h1] - hdr_ref) ** 2, axis=-1)
+    evm = 10.0 * jnp.log10(jnp.maximum(evm_lin, 1e-12))
+    rssi = 20.0 * jnp.log10(jnp.maximum(det.gamma, 1e-12))
+
+    cfg_match = (
+        (mod == cfg.modulation)
+        & (inner == cfg.inner_code)
+        & (outer == cfg.outer_code)
+        & (plen == cfg.payload_len)
+    )
+    hdr_ok = hdr_valid & det.mask
+    return FrameResults(
+        mask=det.mask,
+        header_valid=hdr_ok,
+        payload_valid=pay_valid & cfg_match & det.mask,
+        modulation=mod,
+        inner_code=inner,
+        outer_code=outer,
+        payload_len=plen,
+        header_user=user,
+        payload=payload,
+        symbols=syms,
+        evm=evm,
+        rssi=rssi,
+        start=det.start,
+    )
