@@ -157,26 +157,22 @@ def _refine_carrier(syms: jax.Array, hdr_syms_ref: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# fixed-config framesync (bench / single-config path)
+# common sync front-end (detect + symbols + header), then payload back-ends
 # ---------------------------------------------------------------------------
 
 
-def framesync_fixed(
+def sync_common(
     x: jax.Array,
-    cfg: FrameConfig,
+    n_syms: int,
     max_frames: int,
     threshold: float = 0.45,
     refine: bool = True,
-) -> FrameResults:
-    """Full RX for blocks known to carry frames of one static config.
-
-    [B, T] samples -> FrameResults with [B, K] slots. Frames straddling the
-    block end are not decoded (handled by the streaming runtime's overlap
-    carry — runtime/stream.py).
-    """
-    spec = fs.FrameSpec(cfg)
+):
+    """Config-independent RX front-end: [B, T] -> (det, refined symbols
+    [B, K, n_syms], header fields). ``n_syms`` is the static symbol-buffer
+    size (the longest frame the caller expects)."""
     det = detect(x, max_frames, threshold)
-    syms = extract_symbols(x, det, spec.frame_syms)  # [B, K, n_syms]
+    syms = extract_symbols(x, det, n_syms)  # [B, K, n_syms]
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
@@ -195,7 +191,14 @@ def framesync_fixed(
         inner = jnp.where(use2, inner2, inner)
         outer = jnp.where(use2, outer2, outer)
 
-    # payload: static config path
+    return det, syms, (hdr_valid, user, plen, mod, inner, outer)
+
+
+def decode_payload_symbols(syms: jax.Array, cfg: FrameConfig):
+    """Static-config payload back-end: symbols [.., n_syms >= frame_syms] ->
+    (payload bytes [..., payload_len], crc_ok bool[...])."""
+    spec = fs.FrameSpec(cfg)
+    h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     pay = syms[..., h1 : h1 + spec.payload_syms]
     noise_var = 0.1
     llr = modem.demod_soft_bits(pay, cfg.modulation, noise_var)
@@ -204,8 +207,32 @@ def framesync_fixed(
     llr = llr[..., inv]
     obits = registry.inner_decode(llr, spec.outer_bits, cfg.inner_code)
     msg = registry.outer_decode(obits, spec.payload_msg_bytes, cfg.outer_code)
-    pay_valid = crc.crc24_check(msg) & hdr_valid
-    payload = msg[..., : cfg.payload_len]
+    crc_ok = crc.crc24_check(msg)
+    return msg[..., : cfg.payload_len], crc_ok
+
+
+def framesync_fixed(
+    x: jax.Array,
+    cfg: FrameConfig,
+    max_frames: int,
+    threshold: float = 0.45,
+    refine: bool = True,
+) -> FrameResults:
+    """Full RX for blocks known to carry frames of one static config.
+
+    [B, T] samples -> FrameResults with [B, K] slots. Frames straddling the
+    block end are not decoded (handled by the streaming runtime's overlap
+    carry — runtime/stream.py).
+    """
+    spec = fs.FrameSpec(cfg)
+    det, syms, (hdr_valid, user, plen, mod, inner, outer) = sync_common(
+        x, spec.frame_syms, max_frames, threshold, refine
+    )
+    h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
+
+    # payload: static config path
+    payload, crc_ok = decode_payload_symbols(syms, cfg)
+    pay_valid = crc_ok & hdr_valid
 
     # header EVM (dB) and RSSI (dB) — framesyncstats_s analog
     # (lib/flex_rx_impl.cc:198, 218)

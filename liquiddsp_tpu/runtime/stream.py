@@ -1,0 +1,111 @@
+"""Chunked streaming RX with carry state across block boundaries.
+
+The reference streams continuously: GR hands flex_rx 256-sample chunks and
+liquid's flexframesync keeps internal history so a frame may straddle any
+chunk boundary (lib/flex_rx_impl.h:47, cc:210-215; SURVEY.md section 5.7).
+
+TPU-natively the chunk is a large batched block and the carry state is an
+explicit overlap buffer (overlap-save): each step processes
+``window = [carry | chunk]`` where ``len(carry) = max_frame_samples - 1``,
+and only frames *fully contained* in the window (start <= W - F) are
+decoded. A frame starting in the last F-1 samples reappears at the head of
+the next window and is decoded exactly once there — the same contract that
+becomes ppermute halo exchange when time is sharded across chips
+(parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liquiddsp_tpu.core.config import FrameConfig
+from liquiddsp_tpu.phy import frame_spec as fs
+from liquiddsp_tpu.phy.framesync import FrameResults, framesync_fixed
+
+
+class StreamingRx:
+    """Stateful streaming wrapper around the block framesync.
+
+    One instance per continuous stream batch [B, *]. ``chunk_len`` is static;
+    every step jit-executes one compiled program.
+    """
+
+    def __init__(
+        self,
+        cfg: FrameConfig,
+        batch: int,
+        chunk_len: int,
+        max_frames_per_chunk: int | None = None,
+        threshold: float = 0.45,
+    ):
+        self.cfg = cfg
+        self.batch = batch
+        self.chunk_len = chunk_len
+        spec = fs.FrameSpec(cfg)
+        self.frame_samples = spec.frame_samples
+        self.overlap = self.frame_samples - 1
+        if chunk_len <= self.overlap:
+            raise ValueError(
+                f"chunk_len {chunk_len} must exceed overlap {self.overlap}"
+            )
+        self.max_frames = max_frames_per_chunk or max(
+            2, (chunk_len + self.overlap) // self.frame_samples + 1
+        )
+        self.threshold = threshold
+        self._carry = jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        self._samples_consumed = 0  # absolute index of carry[0]
+        self._step = jax.jit(
+            functools.partial(
+                _stream_step,
+                cfg=cfg,
+                max_frames=self.max_frames,
+                threshold=threshold,
+                frame_samples=self.frame_samples,
+            )
+        )
+
+    def step(self, chunk: jax.Array) -> FrameResults:
+        """Process [B, chunk_len] new samples; returns FrameResults whose
+        ``start`` fields are absolute stream sample indices."""
+        assert chunk.shape == (self.batch, self.chunk_len)
+        res, self._carry = self._step(self._carry, chunk)
+        # window[0] sits at absolute index samples_consumed - overlap
+        res = dataclasses.replace(
+            res, start=res.start + (self._samples_consumed - self.overlap)
+        )
+        self._samples_consumed += self.chunk_len
+        return res
+
+    def run(self, stream: np.ndarray | jax.Array) -> list[FrameResults]:
+        """Convenience: chop [B, T] into chunks (zero-padding the tail)."""
+        b, t = stream.shape
+        out = []
+        for pos in range(0, t, self.chunk_len):
+            chunk = stream[:, pos : pos + self.chunk_len]
+            if chunk.shape[1] < self.chunk_len:
+                chunk = jnp.pad(chunk, ((0, 0), (0, self.chunk_len - chunk.shape[1])))
+            out.append(self.step(jnp.asarray(chunk)))
+        return out
+
+
+def _stream_step(carry, chunk, *, cfg, max_frames, threshold, frame_samples):
+    window = jnp.concatenate([carry, chunk], axis=-1)
+    res = framesync_fixed(window, cfg, max_frames=max_frames, threshold=threshold)
+    w = window.shape[-1]
+    contained = res.start <= w - frame_samples
+    mask = res.mask & contained
+    res = dataclasses.replace(
+        res,
+        mask=mask,
+        header_valid=res.header_valid & contained,
+        payload_valid=res.payload_valid & contained,
+        # start relative to the stream position of carry[0]
+        start=res.start,
+    )
+    new_carry = window[:, -(frame_samples - 1):]
+    return res, new_carry

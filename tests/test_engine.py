@@ -1,0 +1,170 @@
+"""Cognitive-engine tests: estimator parity, bandit convergence, delayed
+feedback, knowledge indicators, persistence — SURVEY.md section 4 item (4):
+adaptation-loop convergence under a simulated SNR schedule."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from liquiddsp_tpu.core.config import ConfigurationMap, NUM_CONFIGS, config_from_id
+from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+from liquiddsp_tpu.engine import estimators
+from liquiddsp_tpu.engine.store import ArmStore
+
+
+def simulate(block: CognitiveEngineBlock, n_packets: int, capacity: float, seed=0):
+    """Drive the closed loop against a synthetic channel: a packet with
+    goodput bound <= capacity always succeeds, others always fail."""
+    rng = np.random.default_rng(seed)
+    cfg = {"modulation": 1, "inner_code": 0, "outer_code": 0}
+    for _ in range(n_packets):
+        cmap = ConfigurationMap(cfg["modulation"], cfg["inner_code"], cfg["outer_code"])
+        ok = 1 if cmap.goodput_upper_bound <= capacity else 0
+        out = block.handler(
+            {
+                "header_valid": 1,
+                "payload_valid": ok,
+                "modulation": cfg["modulation"],
+                "inner_code": cfg["inner_code"],
+                "outer_code": cfg["outer_code"],
+            }
+        )
+        cfg = out
+    return cfg
+
+
+def best_achievable(capacity: float) -> float:
+    best = 0.0
+    for cid in range(1, NUM_CONFIGS + 1):
+        m, i, o = config_from_id(cid)
+        ub = ConfigurationMap(m, i, o).goodput_upper_bound
+        if ub <= capacity:
+            best = max(best, ub)
+    return best
+
+
+class TestEstimators:
+    def test_throughput_ci_brackets_mean(self):
+        lo, hi = estimators.throughput_ci(
+            np.array([2.0]), np.array([0.5]), np.array([6.0]), np.array([50])
+        )
+        assert lo[0] < 2.0 < hi[0]
+        assert lo[0] >= 0.0 and hi[0] <= 6.0 + 1e-6
+
+    def test_psr_ci(self):
+        lo, hi = estimators.psr_ci(np.array([90.0]), np.array([10.0]))
+        assert 0.8 < lo[0] < 0.9 < hi[0] <= 1.0
+
+    def test_gittins_table_interpolation(self):
+        # exact grid point: N=10, gamma=0.9 -> 0.41526 / (10*sqrt(0.1))
+        got = estimators.gittins_index_normal_unit_var(10, 0.9)
+        want = 0.41526 / (10 * math.sqrt(0.1))
+        assert abs(got - want) < 1e-9
+        # interpolated point lies between neighbors
+        g15 = estimators.gittins_index_normal_unit_var(15, 0.9)
+        g10 = estimators.gittins_index_normal_unit_var(10, 0.9)
+        g20 = estimators.gittins_index_normal_unit_var(20, 0.9)
+        assert g20 < g15 < g10  # index shrinks with N (1/N dominates)
+
+
+class TestStore:
+    def test_config_space_bounds(self):
+        s = ArmStore()
+        assert len(s.upper_bound) == 616
+        # max arm: QAM64 none/none -> 6 bits/sym
+        assert abs(s.upper_bound.max() - 6.0) < 1e-9
+
+    def test_write_configuration_updates_mean(self):
+        s = ArmStore()
+        for _ in range(10):
+            s.write_configuration("epsilon_greedy", 57, 1, 1, 2.0, 0)
+        a = 56
+        assert s.total[a] == 10
+        assert abs(s.mean_throughput[a] - 2.0) < 1e-9
+        assert s.lb_throughput[a] <= 2.0 <= s.ub_throughput[a]
+
+    def test_ewma_nonstationary(self):
+        s = ArmStore(channel="nonstationary")
+        for _ in range(10):
+            s.write_configuration("epsilon_greedy", 5, 1, 1, 1.0, 0)
+        for _ in range(10):
+            s.write_configuration("epsilon_greedy", 5, 1, 1, 3.0, 0)
+        # the reference's alpha-correction (py:287: old_mean from aggregate
+        # sums, then mean = old_mean + alpha*diff) moves beyond the plain
+        # running mean 2.0 after the shift to reward 3.0
+        assert s.mean_throughput[4] > 2.1
+
+    def test_save_load_roundtrip(self, tmp_path):
+        s = ArmStore()
+        s.write_configuration("gittins", 100, 1, 1, 1.5, 0)
+        path = os.path.join(tmp_path, "arms.npz")
+        s.save(path)
+        s2 = ArmStore()
+        s2.load(path)
+        np.testing.assert_allclose(s2.mean_throughput, s.mean_throughput)
+        np.testing.assert_array_equal(s2.total, s.total)
+
+    def test_sqlite_export_schema(self, tmp_path):
+        import sqlite3
+
+        s = ArmStore()
+        s.write_configuration("epsilon_greedy", 1, 1, 1, 0.5, 0)
+        s.write_rx_result(1, 1, 0.5, 1)
+        path = os.path.join(tmp_path, "config.db")
+        s.export_sqlite(path)
+        conn = sqlite3.connect(path)
+        rows = conn.execute("SELECT COUNT(*) FROM CONFIG").fetchone()[0]
+        assert rows == 616
+        trial = conn.execute("SELECT TrialN FROM CONFIG WHERE ID=1").fetchone()[0]
+        assert trial == 1
+        conn.close()
+
+
+class TestBandits:
+    @pytest.mark.parametrize("ce_type", ["epsilon_greedy", "annealing_epsilon_greedy", "gittins", "RoTA"])
+    def test_convergence(self, ce_type):
+        block = CognitiveEngineBlock(ce_type=ce_type, seed=0)
+        capacity = 3.0
+        simulate(block, 600, capacity, seed=1)
+        # average goodput over the last 100 packets should approach the best
+        # achievable arm (<= capacity); require at least 60% of optimum
+        tail = block.store.rx_log[-100:]
+        avg = np.mean([r.throughput for r in tail])
+        assert avg > 0.6 * best_achievable(capacity), (ce_type, avg)
+
+    def test_meta_runs(self):
+        block = CognitiveEngineBlock(ce_type="meta", seed=0)
+        out = simulate(block, 50, 2.0)
+        assert set(out) == {"modulation", "inner_code", "outer_code"}
+
+    def test_delayed_feedback_reconciliation(self):
+        block = CognitiveEngineBlock(
+            ce_type="epsilon_greedy", delayed_feedback="delay", delayed_strategy="mean", seed=0
+        )
+        simulate(block, 100, 3.0)
+        # every pending substitution for visited configs eventually reconciled
+        outstanding = sum(len(q) for q in block.store.pending.values())
+        # at most one in flight per config
+        assert outstanding <= 616
+        assert block.num_packets == 100
+
+    def test_contextual_mode_forces_egreedy(self):
+        block = CognitiveEngineBlock(ce_type="gittins", contextual_type="context_lbi")
+        assert block.ce_type == "epsilon_greedy"
+        assert block.kindicator == "on"
+        simulate(block, 30, 2.0)
+        assert len(block.store.ki_log) == 30
+        assert 0.0 <= block.knowledge.c_epsilon <= 1.0
+
+
+class TestKnowledge:
+    def test_indicators_move_toward_one(self):
+        block = CognitiveEngineBlock(ce_type="epsilon_greedy", kindicator="on", seed=0)
+        simulate(block, 300, 2.0)
+        ki = block.store.ki_log
+        last = ki[-1]
+        # LBI (fraction provably suboptimal) is high once learning settles
+        # (not strictly monotone packet-to-packet)
+        assert 0.5 <= last[1] <= 1.0
