@@ -69,9 +69,12 @@ def cfo_of_bin(b: int) -> float:
     return 2.0 * np.pi * b / (2 * TEMPLATE_LEN)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Detections:
-    """Top-K frame-start candidates per batch row (static shapes + masks)."""
+    """Top-K frame-start candidates per batch row (static shapes + masks).
+
+    Registered as a pytree so it can cross jit/shard_map/scan boundaries."""
 
     mask: jax.Array  # [B, K] bool — candidate valid
     start: jax.Array  # [B, K] int32 — frame start sample index

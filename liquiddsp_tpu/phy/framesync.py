@@ -50,9 +50,12 @@ from liquiddsp_tpu.phy.detector import Detections, detect
 NUM_TIMING_PHASES = 32
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FrameResults:
-    """Per-candidate decode results, [B, K] slots (masked)."""
+    """Per-candidate decode results, [B, K] slots (masked).
+
+    Registered as a pytree so it can cross jit/shard_map/scan boundaries."""
 
     mask: jax.Array  # [B, K] bool — detection valid
     header_valid: jax.Array  # [B, K] bool — header CRC passed

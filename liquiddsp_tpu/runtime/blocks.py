@@ -1,0 +1,222 @@
+"""Block-level API: flex_tx / flex_rx / frame_detector_cc parity.
+
+The reference exposes three GR blocks (include/liquiddsp/flex_tx.h:36-53,
+flex_rx.h:37-51, frame_detector_cc.h:36-50) wired through message ports.
+These classes provide the same surface on the TPU runtime:
+
+- ``FlexTx``: payload PDUs in -> modulated c32 frame PDUs out; runtime
+  reconfigurable via ``configure({modulation, inner_code, outer_code})``
+  dict messages (lib/flex_tx_impl.cc:183-189) and the
+  set_modulation/set_inner_code/set_outer_code setters (flex_tx.h:50-52).
+  Out-of-range indices fall back to defaults with a warning, as the
+  reference's switch defaults do (flex_tx_impl.cc:111-114, 140-145, 176-179).
+- ``FlexRx``: complex stream in -> ``constellation`` / ``payload_data`` /
+  ``packet_info`` ports out (lib/flex_rx_impl.cc:61-63, 217-247). No config
+  parameters: frames are self-describing; payload modem/FEC come from the
+  decoded header (flex_rx.h:50). Payload decoding is host-dispatched over
+  per-config jitted decoders (compiled once per visited config — no
+  recompiles in the adaptation loop, SURVEY.md section 7.1).
+- ``FrameDetectorCC``: passthrough + detection count
+  (lib/frame_detector_cc_impl.cc:66-97).
+
+Per-config TX/RX programs are cached; each (config, payload_len) compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liquiddsp_tpu.core.config import (
+    NUM_INNER_CODES,
+    NUM_MODULATIONS,
+    NUM_OUTER_CODES,
+    FrameConfig,
+)
+from liquiddsp_tpu.phy import detector as phy_detector
+from liquiddsp_tpu.phy import frame_spec as fs
+from liquiddsp_tpu.phy import framegen as phy_framegen
+from liquiddsp_tpu.phy import framesync as phy_framesync
+from liquiddsp_tpu.runtime.bus import PDU, MessageBus
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_program(modulation: int, inner: int, outer: int, payload_len: int):
+    cfg = FrameConfig(modulation, inner, outer, payload_len)
+    return jax.jit(lambda p: phy_framegen.framegen(p, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _payload_program(modulation: int, inner: int, outer: int, payload_len: int):
+    cfg = FrameConfig(modulation, inner, outer, payload_len)
+    return jax.jit(lambda syms: phy_framesync.decode_payload_symbols(syms, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _sync_program(n_syms: int, max_frames: int, threshold: float):
+    return jax.jit(
+        lambda x: phy_framesync.sync_common(x, n_syms, max_frames, threshold)
+    )
+
+
+class FlexTx:
+    """Packet transmitter block (flex_tx parity)."""
+
+    def __init__(
+        self,
+        modulation: int = 0,
+        inner_code: int = 0,
+        outer_code: int = 0,
+        bus: MessageBus | None = None,
+    ):
+        self.bus = bus or MessageBus()
+        self.set_modulation(modulation)
+        self.set_inner_code(inner_code)
+        self.set_outer_code(outer_code)
+        self.header_user = None  # 14 zero bytes by default
+        self.num_frames = 0  # d_num_frames (lib/flex_tx_impl.cc:49)
+        self.bus.subscribe("pdus_in", self.send_pkt)
+        self.bus.subscribe("configuration", self.configure)
+
+    def set_modulation(self, modulation: int):
+        if not 0 <= int(modulation) < NUM_MODULATIONS:
+            warnings.warn("Unsupported Modulation Defaulting to BPSK.")
+            modulation = 0
+        self.modulation = int(modulation)
+
+    def set_inner_code(self, inner_code: int):
+        if not 0 <= int(inner_code) < NUM_INNER_CODES:
+            warnings.warn("Unsupported FEC Defaulting to none.")
+            inner_code = 0
+        self.inner_code = int(inner_code)
+
+    def set_outer_code(self, outer_code: int):
+        if not 0 <= int(outer_code) < NUM_OUTER_CODES:
+            warnings.warn("Unsupported FEC Defaulting to none.")
+            outer_code = 0
+        self.outer_code = int(outer_code)
+
+    def configure(self, configuration: dict):
+        """Config dict message handler (lib/flex_tx_impl.cc:183-189)."""
+        if "modulation" in configuration:
+            self.set_modulation(configuration["modulation"])
+        if "inner_code" in configuration:
+            self.set_inner_code(configuration["inner_code"])
+        if "outer_code" in configuration:
+            self.set_outer_code(configuration["outer_code"])
+
+    def send_pkt(self, pdu: PDU | np.ndarray) -> PDU:
+        """Assemble + modulate one (or a batch of) payloads; publish the
+        frame PDU on ``pdus`` (lib/flex_tx_impl.cc:191-209)."""
+        payload = pdu.data if isinstance(pdu, PDU) else pdu
+        payload = jnp.atleast_2d(jnp.asarray(payload, dtype=jnp.uint8))
+        prog = _tx_program(
+            self.modulation, self.inner_code, self.outer_code, payload.shape[-1]
+        )
+        frames = prog(payload)
+        out = PDU(
+            meta={
+                "modulation": self.modulation,
+                "inner_code": self.inner_code,
+                "outer_code": self.outer_code,
+            },
+            data=frames,
+        )
+        self.bus.publish("pdus", out)
+        self.num_frames += payload.shape[0]
+        return out
+
+
+class FlexRx:
+    """Packet receiver block (flex_rx parity): self-describing frames,
+    host-dispatched per-config payload decode."""
+
+    def __init__(
+        self,
+        max_payload_len: int = 64,
+        max_frames_per_block: int = 8,
+        threshold: float = 0.45,
+        bus: MessageBus | None = None,
+    ):
+        self.bus = bus or MessageBus()
+        self.max_payload_len = max_payload_len
+        self.max_frames = max_frames_per_block
+        self.threshold = threshold
+        # symbol buffer sized for the longest config at max payload
+        self.n_syms = fs.max_frame_spec(max_payload_len).frame_syms
+        self.num_packets = 0
+        self.bus.subscribe("stream_in", self.work)
+
+    def work(self, x) -> list[dict]:
+        """Process a [B, T] (or [T]) sample block; publish constellation /
+        payload_data / packet_info per decoded frame (lib/flex_rx_impl.cc:
+        203-253). Returns the list of packet_info dicts."""
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
+        sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
+        det, syms, (hdr_valid, user, plen, mod, inner, outer) = sync(x)
+        mask = np.asarray(det.mask)
+        hdr_valid = np.asarray(hdr_valid)
+        plen_h = np.asarray(plen)
+        mod_h = np.asarray(mod)
+        inner_h = np.asarray(inner)
+        outer_h = np.asarray(outer)
+        infos: list[dict] = []
+        for b, k in zip(*np.nonzero(mask)):
+            # constellation published regardless of validity (cc:217-221)
+            self.bus.publish(
+                "constellation", PDU(meta={}, data=syms[b, k])
+            )
+            if not hdr_valid[b, k]:
+                continue
+            m, i, o, pl = int(mod_h[b, k]), int(inner_h[b, k]), int(outer_h[b, k]), int(plen_h[b, k])
+            if not (
+                0 <= m < NUM_MODULATIONS
+                and 0 <= i < NUM_INNER_CODES
+                and 0 <= o < NUM_OUTER_CODES
+                and 0 < pl <= self.max_payload_len
+            ):
+                continue
+            decode = _payload_program(m, i, o, pl)
+            payload, crc_ok = decode(syms[b, k])
+            payload_valid = bool(crc_ok)
+            if payload_valid:
+                self.bus.publish("payload_data", PDU(meta={}, data=payload))
+            info = {
+                "header_valid": 1,
+                "payload_valid": int(payload_valid),
+                "modulation": m,
+                "inner_code": i,
+                "outer_code": o,
+                "payload_len": pl,
+                "payload": payload,
+                "start": int(np.asarray(det.start)[b, k]),
+                "batch": int(b),
+            }
+            self.bus.publish("packet_info", info)
+            infos.append(info)
+            self.num_packets += 1
+        return infos
+
+
+class FrameDetectorCC:
+    """Standalone detector block (frame_detector_cc parity): complex
+    passthrough + detection counter."""
+
+    def __init__(self, threshold: float = 0.45, max_frames: int = 16):
+        self.threshold = threshold
+        self.max_frames = max_frames
+        self.num_frames = 0
+        self._prog = jax.jit(
+            lambda x: phy_detector.detect(x, self.max_frames, self.threshold)
+        )
+
+    def work(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
+        det = self._prog(x)
+        self.num_frames += int(np.asarray(det.mask).sum())
+        return x, det

@@ -1,0 +1,157 @@
+"""Runtime tests: streaming carry state, block API, closed adaptation loop.
+
+BASELINE config 4 analog: flex_tx -> channel -> flex_rx -> cognitive_engine
+-> flex_tx with per-packet reconfiguration.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from liquiddsp_tpu.core.config import FrameConfig
+from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+from liquiddsp_tpu.phy import framegen
+from liquiddsp_tpu.runtime.blocks import FlexRx, FlexTx, FrameDetectorCC
+from liquiddsp_tpu.runtime.bus import MessageBus, PDU
+from liquiddsp_tpu.runtime.stream import StreamingRx
+
+QPSK_CFG = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
+
+
+class TestStreamingRx:
+    def test_frame_straddling_chunk_boundary_decoded_once(self):
+        rng = np.random.default_rng(0)
+        payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
+        frame = np.asarray(framegen.framegen(jnp.asarray(payload), QPSK_CFG))
+        f = frame.shape[1]
+        chunk = 2048
+        # place the frame straddling the first chunk boundary
+        start = chunk - f // 2
+        stream = np.zeros((1, 4 * chunk), dtype=np.complex64)
+        stream[:, start : start + f] = frame
+        rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        results = rx.run(stream)
+        total = sum(int(np.asarray(r.mask).sum()) for r in results)
+        assert total == 1
+        for r in results:
+            m = np.asarray(r.mask[0])
+            if m.any():
+                k = int(np.argmax(m))
+                assert abs(int(np.asarray(r.start)[0, k]) - start) <= 1
+                assert bool(np.asarray(r.payload_valid)[0, k])
+                np.testing.assert_array_equal(np.asarray(r.payload)[0, k], payload[0])
+
+    def test_multiple_frames_across_chunks(self):
+        rng = np.random.default_rng(1)
+        payloads = rng.integers(0, 256, (3, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), QPSK_CFG))
+        f = frames.shape[1]
+        chunk = 2048
+        stream = np.zeros((1, 6 * chunk), dtype=np.complex64)
+        starts = [100, 2048 + 700, 3 * 2048 - f // 3]
+        for s, fr in zip(starts, frames):
+            stream[0, s : s + f] = fr
+        rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        results = rx.run(stream)
+        got = []
+        for r in results:
+            m = np.asarray(r.mask[0])
+            for k in np.nonzero(m)[0]:
+                got.append(
+                    (int(np.asarray(r.start)[0, k]), bytes(np.asarray(r.payload)[0, k]))
+                )
+        assert len(got) == 3
+        got.sort()
+        for (s_got, p_got), s_want, p_want in zip(got, starts, payloads):
+            assert abs(s_got - s_want) <= 1
+            assert p_got == bytes(p_want)
+
+
+class TestBlocks:
+    def test_flex_tx_emits_frames_and_reconfigures(self):
+        bus = MessageBus()
+        tx = FlexTx(modulation=1, bus=bus)
+        seen = []
+        bus.subscribe("pdus", seen.append)
+        payload = np.zeros((1, 64), dtype=np.uint8)
+        tx.send_pkt(PDU(meta={}, data=payload))
+        assert tx.num_frames == 1
+        assert seen[0].meta["modulation"] == 1
+        l1 = seen[0].data.shape[-1]
+        tx.configure({"modulation": 0, "inner_code": 1, "outer_code": 1})
+        tx.send_pkt(PDU(meta={}, data=payload))
+        assert seen[1].data.shape[-1] > l1  # lower-rate config, longer frame
+
+    def test_flex_tx_rejects_bad_config(self):
+        import warnings
+
+        tx = FlexTx()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            tx.configure({"modulation": 99})
+            assert tx.modulation == 0
+            assert any("Unsupported" in str(x.message) for x in w)
+
+    def test_flex_rx_self_describing_mixed_configs(self):
+        """Two frames with different configs in one block: flex_rx reads the
+        config from each header (no RX-side configuration)."""
+        rng = np.random.default_rng(2)
+        cfg_a = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
+        cfg_b = FrameConfig(modulation=8, inner_code=1, outer_code=3, payload_len=32)
+        pa = rng.integers(0, 256, (1, 64), dtype=np.uint8)
+        pb = rng.integers(0, 256, (1, 32), dtype=np.uint8)
+        fa = np.asarray(framegen.framegen(jnp.asarray(pa), cfg_a))
+        fb = np.asarray(framegen.framegen(jnp.asarray(pb), cfg_b))
+        x = np.zeros((1, 10000), dtype=np.complex64)
+        x[0, 200 : 200 + fa.shape[1]] = fa
+        x[0, 6000 : 6000 + fb.shape[1]] = fb
+        rx = FlexRx(max_payload_len=64)
+        infos = rx.work(x)
+        assert len(infos) == 2
+        infos.sort(key=lambda d: d["start"])
+        assert (infos[0]["modulation"], infos[0]["inner_code"], infos[0]["outer_code"]) == (1, 0, 0)
+        assert (infos[1]["modulation"], infos[1]["inner_code"], infos[1]["outer_code"]) == (8, 1, 3)
+        assert infos[0]["payload_valid"] and infos[1]["payload_valid"]
+        np.testing.assert_array_equal(np.asarray(infos[0]["payload"]), pa[0])
+        np.testing.assert_array_equal(np.asarray(infos[1]["payload"]), pb[0])
+
+    def test_frame_detector_block(self):
+        rng = np.random.default_rng(3)
+        payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
+        frame = np.asarray(framegen.framegen(jnp.asarray(payload), QPSK_CFG))
+        x = np.zeros((1, 4096), dtype=np.complex64)
+        x[0, 1000 : 1000 + frame.shape[1]] = frame
+        blk = FrameDetectorCC()
+        out, det = blk.work(x)
+        assert blk.num_frames == 1
+        np.testing.assert_array_equal(np.asarray(out), x)  # passthrough
+
+
+class TestClosedLoop:
+    def test_tx_rx_ce_adaptation_loop(self):
+        """BASELINE config 4 miniature: the full closed loop over a clean
+        channel — TX applies the CE's config each packet; RX feeds back."""
+        bus = MessageBus()
+        tx = FlexTx(modulation=1, bus=bus)
+        rx = FlexRx(max_payload_len=32, bus=bus)
+        ce = CognitiveEngineBlock(ce_type="epsilon_greedy", seed=0)
+
+        frames = []
+        bus.subscribe("pdus", lambda pdu: frames.append(pdu))
+        bus.subscribe("packet_info", lambda info: bus.post("configuration", ce.handler(info)))
+
+        rng = np.random.default_rng(4)
+        n_decoded = 0
+        for pkt in range(12):
+            payload = rng.integers(0, 256, (1, 32), dtype=np.uint8)
+            tx.send_pkt(PDU(meta={}, data=payload))
+            frame = np.asarray(frames[-1].data)
+            x = np.zeros((1, frame.shape[1] + 1024), dtype=np.complex64)
+            x[:, 512 : 512 + frame.shape[1]] = frame
+            infos = rx.work(x)
+            assert len(infos) == 1
+            n_decoded += infos[0]["payload_valid"]
+            bus.drain()  # deliver the CE's new configuration to the TX
+        assert n_decoded == 12
+        assert ce.num_packets == 12
+        # the TX config actually moved at least once during adaptation
+        assert tx.num_frames == 12
