@@ -69,7 +69,7 @@ def sharded_framesync(
             rssi=P(CH_AXIS, TIME_AXIS),
             start=P(CH_AXIS, TIME_AXIS),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     def run(x_local):
         t_local = x_local.shape[-1]
