@@ -35,15 +35,34 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 512  # lags per grid step
 
 
-def _kernel(xr_ref, xi_ref, s_ref, out_ref, *, l: int, f: int, es: float):
+def _kernel(xr_hbm, xi_hbm, s_ref, out_ref, *, l: int, f: int, es: float):
     """One grid step: lags [i*TILE, (i+1)*TILE).
 
-    xr/xi blocks: [TILE + L] signal strip. s: [L, 2F] template matrix
-    (columns: conj-real then conj-imag per template). out: [TILE, 8]
+    xr/xi live in HBM (overlapping [TILE + L] strips are DMA'd per tile —
+    BlockSpec offsets are block-shape-multiples, so overlap needs manual
+    copies). s: [L, 2F] template matrix (conj packed). out: [TILE, 8]
     (rho2, fbin, c_re, c_im, energy, pad...) — packed lanes.
     """
-    xr = xr_ref[:]
-    xi = xi_ref[:]
+    i = pl.program_id(0)
+
+    def body(xr_v, xi_v, sem):
+        cp1 = pltpu.make_async_copy(xr_hbm.at[pl.ds(i * TILE, TILE + l)], xr_v, sem)
+        cp1.start()
+        cp1.wait()
+        cp2 = pltpu.make_async_copy(xi_hbm.at[pl.ds(i * TILE, TILE + l)], xi_v, sem)
+        cp2.start()
+        cp2.wait()
+        _compute(xr_v[:], xi_v[:], s_ref, out_ref, l=l, f=f, es=es)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((TILE + l,), jnp.float32),
+        pltpu.VMEM((TILE + l,), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def _compute(xr, xi, s_ref, out_ref, *, l: int, f: int, es: float):
     # window matrices [TILE, L] via L static slices
     wr = jnp.stack([jax.lax.dynamic_slice_in_dim(xr, n, TILE) for n in range(l)], axis=1)
     wi = jnp.stack([jax.lax.dynamic_slice_in_dim(xi, n, TILE) for n in range(l)], axis=1)
@@ -89,7 +108,7 @@ def _pack_templates(templates: np.ndarray) -> np.ndarray:
     return np.concatenate([sr, si], axis=1)  # [L, 2F]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "es"))
 def _run_batch(xr, xi, s_mat, es, *, interpret: bool):
     t_padded = xr.shape[-1]
     l = s_mat.shape[0]
@@ -102,8 +121,8 @@ def _run_batch(xr, xi, s_mat, es, *, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, 8), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE + l,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE + l,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((l, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -52,16 +52,23 @@ def template() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _template_bank() -> np.ndarray:
-    """Frequency-shifted conjugated template FFTs [F, NFFT] complex64."""
+def templates_time() -> np.ndarray:
+    """Frequency-shifted templates [F, TEMPLATE_LEN] complex64 (time domain)."""
     s = template()
     n = np.arange(TEMPLATE_LEN)
     bank = []
     for b in CFO_BINS:
         shift = np.exp(1j * 2.0 * np.pi * b * n / (2 * TEMPLATE_LEN))
-        sf = (s * shift).astype(np.complex64)
-        bank.append(np.fft.fft(sf, NFFT).conj())
+        bank.append((s * shift).astype(np.complex64))
     return np.stack(bank).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _template_bank() -> np.ndarray:
+    """Frequency-shifted conjugated template FFTs [F, NFFT] complex64."""
+    return np.stack(
+        [np.fft.fft(sf, NFFT).conj() for sf in templates_time()]
+    ).astype(np.complex64)
 
 
 def cfo_of_bin(b: int) -> float:
@@ -118,21 +125,25 @@ def detect(
     max_frames: int,
     threshold: float = DEFAULT_THRESHOLD,
     min_spacing: int = TEMPLATE_LEN,
+    backend: str = "auto",
 ) -> Detections:
     """Find up to ``max_frames`` preamble hits in [B, T] samples.
 
     Static output shapes; invalid slots are masked. ``min_spacing`` is the
     local-max suppression radius (a frame start suppresses weaker hits within
-    +/- min_spacing samples).
+    +/- min_spacing samples). ``backend``: "auto" uses the fused Pallas
+    correlator kernel on TPU and the XLA FFT path on CPU
+    (kernels/correlator.py).
     """
+    from liquiddsp_tpu.kernels.correlator import correlate_reduced
+
     b, t = x.shape
-    corr, energy = correlate(x)
     es = float(np.sum(np.abs(template()) ** 2))
-    c2 = jnp.abs(corr) ** 2  # [B, F, T]
-    best_f = jnp.argmax(c2, axis=1)  # [B, T]
-    c2max = jnp.max(c2, axis=1)
-    rho2 = c2max / (es * jnp.maximum(energy, 1e-12))
-    rho2 = jnp.where(energy > 1e-9, rho2, 0.0)
+    red = correlate_reduced(x, templates_time(), backend=backend)
+    energy = red["energy"]
+    best_f = red["fbin"]  # [B, T]
+    corr_best = red["corr"]  # [B, T] complex — correlation at best bin
+    rho2 = jnp.where(energy > 1e-9, red["rho2"], 0.0)
 
     # local-max suppression via max-pool over +/- min_spacing
     window = 2 * min_spacing + 1
@@ -152,8 +163,7 @@ def detect(
     # gather per-candidate quantities
     bidx = jnp.arange(b)[:, None]
     fbin = best_f[bidx, start]  # [B, K]
-    corr_at_start = jnp.take_along_axis(corr, start[:, None, :], axis=2)  # [B, F, K]
-    cpk = jnp.take_along_axis(corr_at_start, fbin[:, None, :], axis=1)[:, 0, :]  # [B, K]
+    cpk = jnp.take_along_axis(corr_best, start, axis=1)  # [B, K] complex
     epk = jnp.take_along_axis(energy, start, axis=1)
     gamma = jnp.sqrt(jnp.maximum(epk, 1e-12) / es)
     phi = jnp.angle(cpk)
