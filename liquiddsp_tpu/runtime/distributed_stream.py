@@ -1,0 +1,111 @@
+"""Pod-scale continuous streaming RX: time-block sharding + super-block carry.
+
+BASELINE config 5: continuous N-host time-block-sharded RX with overlap-save
+halo exchange and frame-straddle reassembly. Two nested carry mechanisms:
+
+- *within* a super-block: each time shard completes boundary-straddling
+  frames with one ppermute halo from its right neighbor
+  (parallel/halo.sharded_framesync);
+- *between* super-blocks: the stream's global tail (last frame_samples - 1
+  samples) is prepended to the next super-block, exactly like the
+  single-chip StreamingRx carry (runtime/stream.py) — so a frame straddling
+  the super-block edge is decoded once, in the block where it starts.
+
+Per-step device work is a single jitted shard_map program (local framesync +
+one ppermute + psum'd LinkMetrics); the host only shifts the carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from liquiddsp_tpu.core.config import FrameConfig
+from liquiddsp_tpu.parallel.halo import shard_stream, sharded_framesync
+from liquiddsp_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+from liquiddsp_tpu.phy import frame_spec as fs
+from liquiddsp_tpu.phy.framesync import FrameResults
+from liquiddsp_tpu.utils.metrics import LinkMetrics
+
+
+class ShardedStreamingRx:
+    """Streaming wrapper over an n_time x n_ch mesh.
+
+    ``chunk_len`` is the per-super-block length (must be divisible by
+    n_time); each step consumes [batch, chunk_len] new samples.
+    """
+
+    def __init__(
+        self,
+        cfg: FrameConfig,
+        mesh,
+        batch: int,
+        chunk_len: int,
+        max_frames_per_shard: int = 8,
+        threshold: float = 0.45,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.batch = batch
+        self.n_time = mesh.shape[TIME_AXIS]
+        spec = fs.FrameSpec(cfg)
+        self.frame_samples = spec.frame_samples
+        self.overlap = self.frame_samples - 1
+        # window length = overlap + chunk, padded so each shard gets an equal
+        # time block
+        total = self.overlap + chunk_len
+        self.pad = (-total) % self.n_time
+        self.window = total + self.pad
+        if self.window // self.n_time <= self.overlap:
+            raise ValueError("chunk too small for the mesh: shard < overlap")
+        self.chunk_len = chunk_len
+        self.max_frames = max_frames_per_shard
+        self.threshold = threshold
+        self._carry = jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        self._consumed = 0
+
+        real_len = self.overlap + chunk_len  # window minus the zero pad
+
+        @jax.jit
+        def step(window):
+            res = sharded_framesync(
+                window, cfg, mesh, max_frames_per_shard=max_frames_per_shard,
+                threshold=threshold,
+            )
+            # mask frames not fully contained in the *received* samples (the
+            # zero pad is not future data); they re-appear at the head of the
+            # next super-block via the carry
+            contained = res.start <= real_len - self.frame_samples
+            res = dataclasses.replace(
+                res,
+                mask=res.mask & contained,
+                header_valid=res.header_valid & contained,
+                payload_valid=res.payload_valid & contained,
+            )
+            metrics = LinkMetrics.from_results(res, window.shape[-1])
+            return res, metrics
+
+        self._step = step
+
+    def step(self, chunk: jax.Array):
+        """[batch, chunk_len] new samples -> (FrameResults, LinkMetrics).
+
+        Returned ``start`` values are absolute stream sample indices."""
+        assert chunk.shape == (self.batch, self.chunk_len)
+        window = jnp.concatenate(
+            [self._carry, chunk,
+             jnp.zeros((self.batch, self.pad), dtype=jnp.complex64)],
+            axis=-1,
+        )
+        window = shard_stream(window, self.mesh)
+        res, metrics = self._step(window)
+        res = dataclasses.replace(
+            res, start=res.start + (self._consumed - self.overlap)
+        )
+        # global tail: last overlap samples of the received stream
+        self._carry = jnp.concatenate([self._carry, chunk], axis=-1)[:, -self.overlap :]
+        self._consumed += self.chunk_len
+        return res, metrics
