@@ -1,15 +1,21 @@
 #!/usr/bin/env python
 """Benchmark: aggregate RX throughput (samples/s/chip) on real TPU hardware.
 
-Measures the full framesync path (AGC-normalized detection + candidate
-extraction + header decode + payload decode) over a 64-channel stream filled
-with QPSK flexframes at ~20 dB SNR — BASELINE configs 1+3 rolled into the
-headline metric "RX samples/s/chip".
+Measures the full framesync path (detection + candidate extraction + header
+decode + payload decode) over a 64-channel stream filled with QPSK
+flexframes at ~20 dB SNR — BASELINE configs 1+3 rolled into the headline
+metric "RX samples/s/chip".
 
 Baseline: the north-star target is >= 1 Gsample/s aggregate on a v5e-16
 (BASELINE.md), i.e. 62.5 Msample/s/chip; vs_baseline = value / 62.5e6.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness: the tunneled TPU backend in this environment is intermittently
+flaky (init hangs / spurious UNIMPLEMENTED on transfers). The whole pipeline
+— stream synthesis, framesync, metric reduction — runs on-device inside one
+jit; only int/float scalars cross to the host. A canary with
+clear_backends-based retries guards session startup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -18,66 +24,111 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, ".")
-
-from liquiddsp_tpu.core.config import FrameConfig  # noqa: E402
-from liquiddsp_tpu.phy import framegen  # noqa: E402
-from liquiddsp_tpu.phy.framesync import framesync_fixed  # noqa: E402
 
 PER_CHIP_BASELINE = 62.5e6  # 1 Gsample/s / 16 chips (BASELINE.md)
 
-CFG = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
 BATCH = 64  # channels
 BLOCK = 1 << 16  # samples per channel per step
 SNR_DB = 20.0
+ITERS = 10
 
 
-def build_stream(rng: np.random.Generator) -> np.ndarray:
-    """[BATCH, BLOCK] stream: frames at ~55% duty cycle + AWGN."""
-    payloads = rng.integers(0, 256, (BATCH, CFG.payload_len), dtype=np.uint8)
-    frames = np.asarray(framegen.framegen(jnp.asarray(payloads), CFG))
-    f = frames.shape[1]
-    x = np.zeros((BATCH, BLOCK), dtype=np.complex64)
-    gap = int(0.8 * f)
-    for b in range(BATCH):
-        pos = int(rng.integers(0, gap))
-        while pos + f <= BLOCK:
-            x[b, pos : pos + f] = frames[b]
-            pos += f + gap
-    p_sig = np.mean(np.abs(frames) ** 2)
-    sigma = np.sqrt(p_sig / (2 * 10 ** (SNR_DB / 10)))
-    x += sigma * (
-        rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
-    ).astype(np.complex64)
-    return x
+def _canary(jax, jnp):
+    """Exercise put + jit + fetch; raises if the session is broken."""
+    x = jnp.asarray(np.arange(16, dtype=np.float32))
+    y = jax.jit(lambda a: (a * 2).sum())(x)
+    assert float(y) == 240.0
+
+
+def _ensure_backend():
+    import jax
+    import jax.numpy as jnp
+
+    for attempt in range(4):
+        try:
+            _canary(jax, jnp)
+            return jax, jnp
+        except Exception as e:  # noqa: BLE001
+            print(f"canary attempt {attempt} failed: {e}", file=sys.stderr)
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(10)
+    raise RuntimeError("TPU backend unavailable")
 
 
 def main():
-    dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(build_stream(rng)), dev)
-    max_frames = BLOCK // framegen.frame_length(CFG) + 2
+    jax, jnp = _ensure_backend()
+    from liquiddsp_tpu.core.config import FrameConfig
+    from liquiddsp_tpu.phy import framegen
+    from liquiddsp_tpu.phy.framesync import framesync_fixed
 
-    step = jax.jit(lambda a: framesync_fixed(a, CFG, max_frames=max_frames))
-    # warmup + compile
-    res = step(x)
-    jax.block_until_ready(res.payload_valid)
-    n_ok = int(np.asarray(jnp.sum(res.payload_valid)))
+    cfg = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
+    f = framegen.frame_length(cfg)
+    gap = int(0.8 * f)
+    starts = list(range(37, BLOCK - f, f + gap))
+    max_frames = len(starts) + 2
+
+    def synthesize(key):
+        """On-device stream build: frames + AWGN, no host transfers."""
+        kp, kn = jax.random.split(key)
+        payloads = jax.random.randint(
+            kp, (BATCH, cfg.payload_len), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        frames = framegen.framegen(payloads, cfg)  # [BATCH, f]
+        x = jnp.zeros((BATCH, BLOCK), dtype=jnp.complex64)
+        for s in starts:
+            x = jax.lax.dynamic_update_slice(x, frames, (0, s))
+        p_sig = jnp.mean(jnp.abs(frames) ** 2)
+        sigma = jnp.sqrt(p_sig / (2 * 10 ** (SNR_DB / 10)))
+        noise = sigma * (
+            jax.random.normal(kn, (BATCH, BLOCK))
+            + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (BATCH, BLOCK))
+        )
+        return (x + noise).astype(jnp.complex64), payloads
+
+    @jax.jit
+    def pipeline(key):
+        x, payloads = synthesize(key)
+        res = framesync_fixed(x, cfg, max_frames=max_frames)
+        n_ok = jnp.sum(res.payload_valid.astype(jnp.int32))
+        # bit-exactness: every valid slot's payload matches its channel's TX
+        match = jnp.all(
+            res.payload == payloads[:, None, :], axis=-1
+        ) & res.payload_valid
+        n_exact = jnp.sum(match.astype(jnp.int32))
+        return n_ok, n_exact
+
+    @jax.jit
+    def rx_only(x):
+        res = framesync_fixed(x, cfg, max_frames=max_frames)
+        return jnp.sum(res.payload_valid.astype(jnp.int32))
+
+    key = jax.random.PRNGKey(0)
+    n_ok, n_exact = pipeline(key)
+    n_ok = int(n_ok)
     assert n_ok > 0, "bench stream produced no decoded frames"
+    assert int(n_exact) == n_ok, "decoded payloads not bit-exact"
 
-    iters = 10
+    # time the RX alone on a fixed on-device stream
+    x, _ = jax.jit(synthesize)(key)
+    jax.block_until_ready(x)
+    r = rx_only(x)
+    jax.block_until_ready(r)
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = step(x)
-    jax.block_until_ready(res.payload_valid)
+    for _ in range(ITERS):
+        r = rx_only(x)
+    jax.block_until_ready(r)
     dt = time.perf_counter() - t0
 
-    samples = BATCH * BLOCK * iters
+    samples = BATCH * BLOCK * ITERS
     rate = samples / dt
-    frames_per_s = n_ok * iters / dt
+    frames_per_s = n_ok * ITERS / dt
     print(
         json.dumps(
             {
@@ -88,8 +139,9 @@ def main():
                 "extra": {
                     "frames_per_sec": frames_per_s,
                     "decoded_frames_per_block": n_ok,
+                    "expected_frames_per_block": len(starts) * BATCH,
                     "snr_db": SNR_DB,
-                    "device": str(dev),
+                    "device": str(jax.devices()[0]),
                 },
             }
         )

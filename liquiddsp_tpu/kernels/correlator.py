@@ -36,20 +36,27 @@ TILE = 512  # lags per grid step
 
 
 def _kernel(xr_hbm, xi_hbm, s_ref, out_ref, *, l: int, f: int, es: float):
-    """One grid step: lags [i*TILE, (i+1)*TILE).
+    """One grid step: batch row b, lags [i*TILE, (i+1)*TILE).
 
-    xr/xi live in HBM (overlapping [TILE + L] strips are DMA'd per tile —
-    BlockSpec offsets are block-shape-multiples, so overlap needs manual
-    copies). s: [L, 2F] template matrix (conj packed). out: [TILE, 8]
-    (rho2, fbin, c_re, c_im, energy, pad...) — packed lanes.
+    xr/xi live in HBM untiled (overlapping [TILE + L] strips are DMA'd per
+    tile — BlockSpec offsets are block-shape-multiples, so overlap needs
+    manual copies; and TPU ANY-space blocks must be whole-array, so the
+    batch axis is a grid dimension, not a vmap). s: [L, 2F] template matrix
+    (conj packed). out block: [1, 8, TILE] rows = (rho2, fbin, c_re, c_im,
+    energy, 0, 0, 0) — lag on the lane axis.
     """
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
 
     def body(xr_v, xi_v, sem):
-        cp1 = pltpu.make_async_copy(xr_hbm.at[pl.ds(i * TILE, TILE + l)], xr_v, sem)
+        cp1 = pltpu.make_async_copy(
+            xr_hbm.at[b, pl.ds(i * TILE, TILE + l)], xr_v, sem
+        )
         cp1.start()
         cp1.wait()
-        cp2 = pltpu.make_async_copy(xi_hbm.at[pl.ds(i * TILE, TILE + l)], xi_v, sem)
+        cp2 = pltpu.make_async_copy(
+            xi_hbm.at[b, pl.ds(i * TILE, TILE + l)], xi_v, sem
+        )
         cp2.start()
         cp2.wait()
         _compute(xr_v[:], xi_v[:], s_ref, out_ref, l=l, f=f, es=es)
@@ -86,14 +93,11 @@ def _compute(xr, xi, s_ref, out_ref, *, l: int, f: int, es: float):
     ).astype(jnp.float32)
     cb_re = jnp.sum(c_re * onehot, axis=1)
     cb_im = jnp.sum(c_im * onehot, axis=1)
-    out_ref[:, 0] = rho2
-    out_ref[:, 1] = best.astype(jnp.float32)
-    out_ref[:, 2] = cb_re
-    out_ref[:, 3] = cb_im
-    out_ref[:, 4] = energy
-    out_ref[:, 5] = jnp.zeros_like(rho2)
-    out_ref[:, 6] = jnp.zeros_like(rho2)
-    out_ref[:, 7] = jnp.zeros_like(rho2)
+    zero = jnp.zeros_like(rho2)
+    out_ref[0, :, :] = jnp.stack(
+        [rho2, best.astype(jnp.float32), cb_re, cb_im, energy, zero, zero, zero],
+        axis=0,
+    )
 
 
 def _pack_templates(templates: np.ndarray) -> np.ndarray:
@@ -110,25 +114,28 @@ def _pack_templates(templates: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("interpret", "es"))
 def _run_batch(xr, xi, s_mat, es, *, interpret: bool):
-    t_padded = xr.shape[-1]
+    """xr/xi [B, T_padded] -> [B, 8, n_tiles*TILE] packed rows."""
+    b, t_padded = xr.shape
     l = s_mat.shape[0]
     f = s_mat.shape[1] // 2
     n_tiles = (t_padded - l) // TILE
-    grid = (n_tiles,)
+    grid = (b, n_tiles)
     kernel = functools.partial(_kernel, l=l, f=f, es=float(es))
-    call = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 8, n_tiles * TILE), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((l, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, 2 * f), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
-    )
-    return jax.vmap(lambda a, b: call(a, b, s_mat))(xr, xi)
+    )(xr, xi, s_mat)
+    return out
 
 
 def correlate_reduced_pallas(
@@ -144,13 +151,13 @@ def correlate_reduced_pallas(
     xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (0, pad)))
     xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (0, pad)))
     s_mat = jnp.asarray(_pack_templates(templates))
-    out = _run_batch(xr, xi, s_mat, es, interpret=interpret)  # [B, nt*TILE, 8]
-    out = out[:, :t]
+    out = _run_batch(xr, xi, s_mat, es, interpret=interpret)  # [B, 8, nt*TILE]
+    out = out[:, :, :t]
     return {
-        "rho2": out[..., 0],
-        "fbin": out[..., 1].astype(jnp.int32),
-        "corr": (out[..., 2] + 1j * out[..., 3]).astype(jnp.complex64),
-        "energy": out[..., 4],
+        "rho2": out[:, 0],
+        "fbin": out[:, 1].astype(jnp.int32),
+        "corr": (out[:, 2] + 1j * out[:, 3]).astype(jnp.complex64),
+        "energy": out[:, 4],
     }
 
 
