@@ -28,10 +28,10 @@ sys.path.insert(0, ".")
 
 PER_CHIP_BASELINE = 62.5e6  # 1 Gsample/s / 16 chips (BASELINE.md)
 
-BATCH = 64  # channels
-BLOCK = 1 << 16  # samples per channel per step
+BATCH = 16  # channels
+BLOCK = 1 << 15  # samples per channel per step
 SNR_DB = 20.0
-ITERS = 10
+ITERS = 40
 
 
 def _canary(jax, jnp):
@@ -42,8 +42,26 @@ def _canary(jax, jnp):
 
 
 def _ensure_backend():
+    # fast-fail watchdog: the tunneled backend sometimes hangs at init
+    # inside C++ (uninterruptible) — exit the process so an outer retry
+    # loop can respawn instead of burning the full timeout
+    import os
+    import threading
+
+    up = threading.Event()
+
+    def _watchdog():
+        if not up.wait(60):
+            print("backend init watchdog fired — exiting for retry", file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()
+    up.set()
 
     for attempt in range(4):
         try:

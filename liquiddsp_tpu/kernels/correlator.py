@@ -70,9 +70,10 @@ def _kernel(xr_hbm, xi_hbm, s_ref, out_ref, *, l: int, f: int, es: float):
 
 
 def _compute(xr, xi, s_ref, out_ref, *, l: int, f: int, es: float):
-    # window matrices [TILE, L] via L static slices
-    wr = jnp.stack([jax.lax.dynamic_slice_in_dim(xr, n, TILE) for n in range(l)], axis=1)
-    wi = jnp.stack([jax.lax.dynamic_slice_in_dim(xi, n, TILE) for n in range(l)], axis=1)
+    # window matrices [TILE, L] via L static slices (dynamic_slice on values
+    # does not lower in Pallas TPU; slice starts here are Python ints)
+    wr = jnp.stack([xr[n : n + TILE] for n in range(l)], axis=1)
+    wi = jnp.stack([xi[n : n + TILE] for n in range(l)], axis=1)
     s = s_ref[:]  # [L, 2F]: [conj_re | conj_im] ... see wrapper packing
     sr = s[:, :f]  # Re(conj(s)) = Re(s)
     si = s[:, f:]  # -Im(s) = Im(conj(s))
@@ -176,9 +177,14 @@ def correlate_reduced_xla(x: jax.Array, templates: np.ndarray):
 
 
 def correlate_reduced(x: jax.Array, templates: np.ndarray, backend: str = "auto"):
-    """Dispatch: Pallas on TPU, XLA elsewhere (or forced via ``backend``)."""
+    """Dispatch: Pallas on TPU, XLA elsewhere (or forced via ``backend`` /
+    the LIQUIDDSP_CORRELATOR_BACKEND env var)."""
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        import os
+
+        backend = os.environ.get("LIQUIDDSP_CORRELATOR_BACKEND") or (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
     if backend == "pallas":
         return correlate_reduced_pallas(x, templates)
     if backend == "pallas_interpret":

@@ -82,12 +82,18 @@ def _timing_bank() -> np.ndarray:
     return rrc.fractional_delay_bank(NUM_TIMING_PHASES)
 
 
-def extract_symbols(x: jax.Array, det: Detections, n_syms: int) -> jax.Array:
+def extract_symbols(
+    x: jax.Array, det: Detections, n_syms: int, timing_bank: bool = True
+) -> jax.Array:
     """Recover [B, K, n_syms] symbol estimates for each candidate frame.
 
     Applies gain normalization, NCO derotation (CFO + phase), matched
     filtering with the per-candidate fractional-delay filter, and k=2
     decimation. ``n_syms`` is static (max frame symbols).
+
+    ``timing_bank=False`` skips per-candidate fractional-delay selection
+    (all candidates share the symmetric prototype) — a lighter program for
+    sample-aligned workloads.
     """
     b, t = x.shape
     k_samp = fs.K_SAMP
@@ -99,17 +105,20 @@ def extract_symbols(x: jax.Array, det: Detections, n_syms: int) -> jax.Array:
         n = jnp.arange(n_samples, dtype=jnp.float32)
         nco = jnp.exp(-1j * (dphi * n + phi))
         win = win * nco / jnp.maximum(gamma, 1e-9)
-        # timing: tau in [-0.5, 0.5] samples; bank phase p shifts sampling by
-        # +p/P samples. Use p = round(tau*P) mod P with integer base shift.
-        p = jnp.round(tau * NUM_TIMING_PHASES).astype(jnp.int32)
-        base = jnp.where(p < 0, 1, 0)  # negative tau: shift window right once
-        p = jnp.where(p < 0, p + NUM_TIMING_PHASES, p)
-        bank = jnp.asarray(_timing_bank())  # [P, 29]
-        taps = bank[p][::-1]  # convolution kernel (flipped)
-        # windowed dot products at symbol strides:
-        # sym[i] = sum_m win[k*i + base + m] * taps[m]... via conv
-        re = jnp.convolve(jnp.real(win), bank[p], mode="full")
-        im = jnp.convolve(jnp.imag(win), bank[p], mode="full")
+        if timing_bank:
+            # timing: tau in [-0.5, 0.5] samples; bank phase p shifts the
+            # sampling instant by +p/P samples, with an integer base shift
+            # for negative tau
+            p = jnp.round(tau * NUM_TIMING_PHASES).astype(jnp.int32)
+            base = jnp.where(p < 0, 1, 0)
+            p = jnp.where(p < 0, p + NUM_TIMING_PHASES, p)
+            bank = jnp.asarray(_timing_bank())  # [P, 29]
+            taps = bank[p]
+        else:
+            base = 0
+            taps = jnp.asarray(rrc.matched_taps())
+        re = jnp.convolve(jnp.real(win), taps, mode="full")
+        im = jnp.convolve(jnp.imag(win), taps, mode="full")
         y = re + 1j * im
         off = fs.PULSE_TAIL + base
         sym = jax.lax.dynamic_slice_in_dim(y, off, k_samp * n_syms)[::k_samp]
@@ -170,12 +179,13 @@ def sync_common(
     max_frames: int,
     threshold: float = 0.45,
     refine: bool = True,
+    timing_bank: bool = True,
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields). ``n_syms`` is the static symbol-buffer
     size (the longest frame the caller expects)."""
     det = detect(x, max_frames, threshold)
-    syms = extract_symbols(x, det, n_syms)  # [B, K, n_syms]
+    syms = extract_symbols(x, det, n_syms, timing_bank)  # [B, K, n_syms]
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
@@ -220,6 +230,7 @@ def framesync_fixed(
     max_frames: int,
     threshold: float = 0.45,
     refine: bool = True,
+    timing_bank: bool = True,
 ) -> FrameResults:
     """Full RX for blocks known to carry frames of one static config.
 
@@ -229,7 +240,7 @@ def framesync_fixed(
     """
     spec = fs.FrameSpec(cfg)
     det, syms, (hdr_valid, user, plen, mod, inner, outer) = sync_common(
-        x, spec.frame_syms, max_frames, threshold, refine
+        x, spec.frame_syms, max_frames, threshold, refine, timing_bank
     )
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
 
