@@ -28,10 +28,10 @@ sys.path.insert(0, ".")
 
 PER_CHIP_BASELINE = 62.5e6  # 1 Gsample/s / 16 chips (BASELINE.md)
 
-BATCH = 16  # channels
-BLOCK = 1 << 15  # samples per channel per step
+BATCH = 64  # channels
+BLOCK = 1 << 16  # samples per channel per step
 SNR_DB = 20.0
-ITERS = 40
+ITERS = 10
 
 
 def _canary(jax, jnp):

@@ -145,16 +145,20 @@ def detect(
     corr_best = red["corr"]  # [B, T] complex — correlation at best bin
     rho2 = jnp.where(energy > 1e-9, red["rho2"], 0.0)
 
-    # local-max suppression via max-pool over +/- min_spacing
-    window = 2 * min_spacing + 1
-    pooled = jax.lax.reduce_window(
-        rho2,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, window),
-        window_strides=(1, 1),
-        padding=((0, 0), (min_spacing, min_spacing)),
-    )
+    # local-max suppression, block-hierarchical: a candidate must be the max
+    # of its own min_spacing-sample block and both neighbor blocks
+    # (suppression radius min_spacing..2*min_spacing — frames are always
+    # farther apart than that). A direct reduce_window over +/-min_spacing
+    # compiles pathologically on TPU (large-window unroll); the block-max +
+    # neighbor-max formulation is three cheap reductions.
+    blk = min_spacing
+    nb = -(-t // blk)
+    rp = jnp.pad(rho2, ((0, 0), (0, nb * blk - t)), constant_values=-1.0)
+    bm = jnp.max(rp.reshape(b, nb, blk), axis=-1)  # [B, nb]
+    left = jnp.pad(bm, ((0, 0), (1, 0)), constant_values=-jnp.inf)[:, :-1]
+    right = jnp.pad(bm, ((0, 0), (0, 1)), constant_values=-jnp.inf)[:, 1:]
+    neigh = jnp.maximum(jnp.maximum(bm, left), right)  # [B, nb]
+    pooled = jnp.repeat(neigh, blk, axis=-1)[:, :t]
     is_peak = (rho2 >= pooled) & (rho2 > threshold * threshold)
     score = jnp.where(is_peak, rho2, -1.0)
     top_rho2, start = jax.lax.top_k(score, max_frames)  # [B, K]
