@@ -22,7 +22,12 @@ import json
 import sys
 import time
 
+import os
 import numpy as np
+
+# the Pallas correlator is not yet Mosaic-clean on this backend; default to
+# the XLA correlator unless explicitly overridden
+os.environ.setdefault("LIQUIDDSP_CORRELATOR_BACKEND", "xla")
 
 sys.path.insert(0, ".")
 
@@ -88,19 +93,28 @@ def main():
     cfg = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
     f = framegen.frame_length(cfg)
     gap = int(0.8 * f)
-    starts = list(range(37, BLOCK - f, f + gap))
-    max_frames = len(starts) + 2
+    period = 37 + f + gap  # [lead-in | frame | gap] tile
+    starts = [37 + i * period for i in range(BLOCK // period + 1) if 37 + i * period + f <= BLOCK]
+    max_frames = BLOCK // period + 2
 
     def synthesize(key):
-        """On-device stream build: frames + AWGN, no host transfers."""
+        """On-device stream build: frames + AWGN, no host transfers.
+
+        Frame train built by tiling [frame | gap] — a 2-op layout (an
+        unrolled per-start dynamic_update_slice loop bloats XLA compile).
+        """
         kp, kn = jax.random.split(key)
         payloads = jax.random.randint(
             kp, (BATCH, cfg.payload_len), 0, 256, dtype=jnp.int32
         ).astype(jnp.uint8)
         frames = framegen.framegen(payloads, cfg)  # [BATCH, f]
-        x = jnp.zeros((BATCH, BLOCK), dtype=jnp.complex64)
-        for s in starts:
-            x = jax.lax.dynamic_update_slice(x, frames, (0, s))
+        pattern = jnp.concatenate(
+            [jnp.zeros((BATCH, starts[0]), jnp.complex64), frames,
+             jnp.zeros((BATCH, gap), jnp.complex64)],
+            axis=1,
+        )
+        reps = -(-BLOCK // pattern.shape[1])
+        x = jnp.tile(pattern, (1, reps))[:, :BLOCK]
         p_sig = jnp.mean(jnp.abs(frames) ** 2)
         sigma = jnp.sqrt(p_sig / (2 * 10 ** (SNR_DB / 10)))
         noise = sigma * (
