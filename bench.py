@@ -25,9 +25,9 @@ import time
 import os
 import numpy as np
 
-# the Pallas correlator is not yet Mosaic-clean on this backend; default to
-# the XLA correlator unless explicitly overridden
-os.environ.setdefault("LIQUIDDSP_CORRELATOR_BACKEND", "xla")
+# block-Toeplitz MXU matmul correlator (kernels/correlator.py) — the fast
+# path on TPU; override via env to compare backends
+os.environ.setdefault("LIQUIDDSP_CORRELATOR_BACKEND", "mm")
 
 sys.path.insert(0, ".")
 

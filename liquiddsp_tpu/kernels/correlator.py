@@ -162,6 +162,100 @@ def correlate_reduced_pallas(
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _toeplitz_mats(key: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block-Toeplitz template matrices for the matmul correlator.
+
+    For block length L (= template length) and lag o within a block, the
+    window starting at k*L+o spans signal blocks k and k+1:
+
+        c[k*L+o] = sum_i A[i]*conj(s[i-o])   (i >= o;   A = block k)
+                 + sum_j B[j]*conj(s[L+j-o]) (j <  o;   B = block k+1)
+
+    so c_block = [A | B] @ M with M[0:L] lower-Toeplitz and M[L:2L]
+    upper-Toeplitz in conj(s). Returns (Mr, Mi) [2L, F*L] float32 packed
+    over templates, plus the all-ones energy Toeplitz [2L, L]."""
+    templates = _TEMPLATE_CACHE[key]
+    f, l = templates.shape
+    m = np.zeros((2 * l, f, l), dtype=np.complex64)
+    for fi in range(f):
+        cs = np.conj(templates[fi])
+        for o in range(l):
+            m[o:l, fi, o] = cs[: l - o]
+            m[l : l + o, fi, o] = cs[l - o :]
+    m = m.reshape(2 * l, f * l)
+    e = np.zeros((2 * l, l), dtype=np.float32)
+    for o in range(l):
+        e[o:l, o] = 1.0
+        e[l : l + o, o] = 1.0
+    return (
+        np.real(m).astype(np.float32),
+        np.imag(m).astype(np.float32),
+        e,
+    )
+
+
+_TEMPLATE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _template_key(templates: np.ndarray) -> int:
+    key = hash(templates.tobytes())
+    _TEMPLATE_CACHE[key] = templates
+    return key
+
+
+def correlate_reduced_mm(x: jax.Array, templates: np.ndarray):
+    """MXU matmul correlator (pure XLA): block-Toeplitz formulation.
+
+    Same contract as correlate_reduced_pallas but with no Pallas dependency:
+    the [B, T] stream is cut into L-sample blocks and all F correlations for
+    a block of lags come from one [NB, 2L] x [2L, F*L] matmul, which XLA
+    tiles straight onto the MXU. Energy uses the same structure with an
+    all-ones Toeplitz, so there is no cumsum scan anywhere.
+    """
+    f, l = templates.shape
+    b, t = x.shape
+    es = float(np.sum(np.abs(templates[0]) ** 2))
+    mr_np, mi_np, em_np = _toeplitz_mats(_template_key(templates))
+    nb = -(-t // l)
+    pad = (nb + 1) * l - t
+    xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (0, pad)))
+    xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (0, pad)))
+    xr = xr.reshape(b, nb + 1, l)
+    xi = xi.reshape(b, nb + 1, l)
+    xr_cat = jnp.concatenate([xr[:, :nb], xr[:, 1:]], axis=-1)  # [B, NB, 2L]
+    xi_cat = jnp.concatenate([xi[:, :nb], xi[:, 1:]], axis=-1)
+    mr = jnp.asarray(mr_np)
+    mi = jnp.asarray(mi_np)
+    # c = (xr + j xi) @ (Mr + j Mi)
+    cr = jnp.einsum("bnk,kf->bnf", xr_cat, mr) - jnp.einsum(
+        "bnk,kf->bnf", xi_cat, mi
+    )
+    ci = jnp.einsum("bnk,kf->bnf", xr_cat, mi) + jnp.einsum(
+        "bnk,kf->bnf", xi_cat, mr
+    )
+    cr = cr.reshape(b, nb, f, l)
+    ci = ci.reshape(b, nb, f, l)
+    mag2 = cr * cr + ci * ci  # [B, NB, F, L]
+    best = jnp.argmax(mag2, axis=2).astype(jnp.int32)  # [B, NB, L]
+    m2 = jnp.max(mag2, axis=2)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, mag2.shape, 2) == best[:, :, None, :]
+    )
+    cb_re = jnp.sum(jnp.where(onehot, cr, 0.0), axis=2)
+    cb_im = jnp.sum(jnp.where(onehot, ci, 0.0), axis=2)
+    p_cat = xr_cat * xr_cat + xi_cat * xi_cat
+    energy = jnp.einsum("bnk,kl->bnl", p_cat, jnp.asarray(em_np))  # [B, NB, L]
+    rho2 = m2 / (es * jnp.maximum(energy, 1e-12))
+    flat = lambda a: a.reshape(b, nb * l)[:, :t]
+    return {
+        "rho2": flat(rho2),
+        "fbin": flat(best),
+        "corr": (flat(cb_re) + 1j * flat(cb_im)).astype(jnp.complex64),
+        "energy": flat(energy),
+    }
+
+
 def correlate_reduced_xla(x: jax.Array, templates: np.ndarray):
     """Equivalent XLA fallback built on the FFT overlap-save correlator."""
     from liquiddsp_tpu.phy import detector as det
@@ -182,9 +276,9 @@ def correlate_reduced(x: jax.Array, templates: np.ndarray, backend: str = "auto"
     if backend == "auto":
         import os
 
-        backend = os.environ.get("LIQUIDDSP_CORRELATOR_BACKEND") or (
-            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        )
+        backend = os.environ.get("LIQUIDDSP_CORRELATOR_BACKEND") or "mm"
+    if backend == "mm":
+        return correlate_reduced_mm(x, templates)
     if backend == "pallas":
         return correlate_reduced_pallas(x, templates)
     if backend == "pallas_interpret":

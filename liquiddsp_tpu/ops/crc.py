@@ -62,23 +62,50 @@ def crc16_host(data: bytes) -> int:
     return _crc_host(data, CRC16_POLY, 16, CRC16_INIT)
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_matrix(length: int, poly: int, width: int, init: int):
+    """CRC is GF(2)-affine in the message bits: crc(m) = c0 ^ (bits(m) @ F).
+
+    Returns (F [8*length, width] float32 — column j of F is the CRC of the
+    unit message with only bit j set and init 0 — and c0 bits [width]
+    float32, the CRC of the all-zero message with the real init). One
+    [N, 8L] x [8L, W] matmul replaces the per-byte lax.scan — the scan is a
+    length-L sequential chain of tiny gathers, the single worst TPU shape.
+    """
+    rows = []
+    for j in range(8 * length):
+        msg = bytearray(length)
+        msg[j // 8] = 0x80 >> (j % 8)  # MSB-first bit order within the byte
+        rows.append(_crc_host(bytes(msg), poly, width, 0))
+    c0 = _crc_host(bytes(length), poly, width, init)
+    f = np.array(
+        [[(r >> (width - 1 - b)) & 1 for b in range(width)] for r in rows],
+        dtype=np.float32,
+    )
+    c0_bits = np.array(
+        [(c0 >> (width - 1 - b)) & 1 for b in range(width)], dtype=np.float32
+    )
+    return f, c0_bits
+
+
 def _crc_jax(msg_bytes: jax.Array, poly: int, width: int, init: int) -> jax.Array:
-    """Batched CRC over uint8 messages [..., L] -> uint32 [...]."""
-    table = jnp.asarray(_crc_table(poly, width), dtype=jnp.uint32)
-    mask = jnp.uint32((1 << width) - 1)
-    shift = width - 8
-    msg = msg_bytes.astype(jnp.uint32)
-    batch_shape = msg.shape[:-1]
-    init_reg = jnp.full(batch_shape, init, dtype=jnp.uint32)
+    """Batched CRC over uint8 messages [..., L] -> uint32 [...].
 
-    def step(reg, byte):
-        idx = ((reg >> shift) ^ byte) & jnp.uint32(0xFF)
-        reg = ((reg << 8) ^ table[idx]) & mask
-        return reg, None
-
-    # scan over the length axis; batch dims ride along vectorized
-    reg, _ = jax.lax.scan(step, init_reg, jnp.moveaxis(msg, -1, 0))
-    return reg
+    GF(2) matmul formulation (MXU): unpack bits, one f32 matmul against the
+    per-length constant matrix, parity, repack. Exact: row sums < 2^24.
+    """
+    length = msg_bytes.shape[-1]
+    f_np, c0_np = _crc_matrix(length, poly, width, init)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (msg_bytes[..., None] >> shifts) & 1  # [..., L, 8] MSB-first
+    bits = bits.reshape(msg_bytes.shape[:-1] + (8 * length,)).astype(jnp.float32)
+    sums = bits @ jnp.asarray(f_np)  # [..., width]
+    par = jnp.mod(sums, 2.0)
+    crc_bits = jnp.mod(par + jnp.asarray(c0_np), 2.0).astype(jnp.uint32)
+    weights = jnp.asarray(
+        [1 << (width - 1 - b) for b in range(width)], dtype=jnp.uint32
+    )
+    return jnp.sum(crc_bits * weights, axis=-1).astype(jnp.uint32)
 
 
 def crc24(msg_bytes: jax.Array) -> jax.Array:

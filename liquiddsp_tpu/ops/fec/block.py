@@ -111,23 +111,26 @@ class LinearBlockCode:
     # -- jax ---------------------------------------------------------------
 
     def encode(self, bits: jax.Array) -> jax.Array:
-        """bits [..., nblocks*k] int8 -> [..., nblocks*n] int8."""
-        p = jnp.asarray(self.p, dtype=jnp.int32)
+        """bits [..., nblocks*k] int8 -> [..., nblocks*n] int8.
+
+        f32 matmul (MXU path — int matmuls don't tile onto the MXU); exact
+        since row sums < 2^24."""
+        p = jnp.asarray(self.p, dtype=jnp.float32)
         shape = bits.shape[:-1] + (bits.shape[-1] // self.k, self.k)
-        m = bits.reshape(shape).astype(jnp.int32)
-        parity = (m @ p) % 2
+        m = bits.reshape(shape).astype(jnp.float32)
+        parity = jnp.mod(m @ p, 2.0)
         out = jnp.concatenate([m, parity], axis=-1).astype(jnp.int8)
         return out.reshape(bits.shape[:-1] + (shape[-2] * self.n,))
 
     def decode(self, bits: jax.Array) -> jax.Array:
         """bits [..., nblocks*n] int8 -> corrected data [..., nblocks*k] int8."""
-        p = jnp.asarray(self.p, dtype=jnp.int32)
+        p = jnp.asarray(self.p, dtype=jnp.float32)
         table = jnp.asarray(self._syndrome_table, dtype=jnp.int8)
         weights = jnp.asarray(1 << np.arange(self.r), dtype=jnp.int32)
         shape = bits.shape[:-1] + (bits.shape[-1] // self.n, self.n)
         c = bits.reshape(shape).astype(jnp.int32)
         data, par = c[..., : self.k], c[..., self.k :]
-        syn = ((data @ p) % 2) ^ par
+        syn = jnp.mod(data.astype(jnp.float32) @ p, 2.0).astype(jnp.int32) ^ par
         sidx = jnp.sum(syn * weights, axis=-1)
         err = table[sidx]
         corrected = (c ^ err)[..., : self.k].astype(jnp.int8)

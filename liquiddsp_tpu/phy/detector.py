@@ -154,15 +154,21 @@ def detect(
     blk = min_spacing
     nb = -(-t // blk)
     rp = jnp.pad(rho2, ((0, 0), (0, nb * blk - t)), constant_values=-1.0)
-    bm = jnp.max(rp.reshape(b, nb, blk), axis=-1)  # [B, nb]
+    rb = rp.reshape(b, nb, blk)
+    bm = jnp.max(rb, axis=-1)  # [B, nb]
+    am = jnp.argmax(rb, axis=-1).astype(jnp.int32)  # [B, nb] in-block offset
     left = jnp.pad(bm, ((0, 0), (1, 0)), constant_values=-jnp.inf)[:, :-1]
     right = jnp.pad(bm, ((0, 0), (0, 1)), constant_values=-jnp.inf)[:, 1:]
-    neigh = jnp.maximum(jnp.maximum(bm, left), right)  # [B, nb]
-    pooled = jnp.repeat(neigh, blk, axis=-1)[:, :t]
-    is_peak = (rho2 >= pooled) & (rho2 > threshold * threshold)
-    score = jnp.where(is_peak, rho2, -1.0)
-    top_rho2, start = jax.lax.top_k(score, max_frames)  # [B, K]
+    # a block's max is a peak iff it dominates both neighbor blocks (radius
+    # min_spacing..2*min_spacing suppression; frames are farther apart) —
+    # and top-k then runs over nb blocks, not T lags (a full-length
+    # lax.top_k over T was a hot spot: it sorts the whole row)
+    is_peak = (bm >= left) & (bm >= right) & (bm > threshold * threshold)
+    score = jnp.where(is_peak, bm, -1.0)  # [B, nb]
+    top_rho2, bstart = jax.lax.top_k(score, max_frames)  # [B, K]
     mask = top_rho2 > 0
+    start = bstart * blk + jnp.take_along_axis(am, bstart, axis=1)
+    start = jnp.minimum(start, t - 1)
 
     # gather per-candidate quantities
     bidx = jnp.arange(b)[:, None]
