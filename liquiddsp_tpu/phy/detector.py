@@ -192,13 +192,9 @@ def detect(
     s = jnp.asarray(template())
     half = TEMPLATE_LEN // 2
 
-    def halves(xrow, srow_start):
-        win = jax.lax.dynamic_slice_in_dim(xrow, srow_start, TEMPLATE_LEN)
-        return win
+    from liquiddsp_tpu.kernels.extract import extract_windows
 
-    wins = jax.vmap(
-        lambda xrow, starts: jax.vmap(lambda s0: halves(xrow, s0))(starts)
-    )(jnp.pad(x, ((0, 0), (0, TEMPLATE_LEN))), jnp.clip(start, 0, t - 1))
+    wins = extract_windows(x, jnp.clip(start, 0, t - 1), TEMPLATE_LEN)
     # [B, K, 128]; derotate by coarse CFO before fine estimate
     n = jnp.arange(TEMPLATE_LEN, dtype=jnp.float32)
     derot = jnp.exp(-1j * coarse[..., None] * n)

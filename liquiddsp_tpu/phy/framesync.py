@@ -124,16 +124,12 @@ def extract_symbols(
     b, t = x.shape
     k_samp = fs.K_SAMP
     n_samples = k_samp * n_syms + fs.PULSE_TAIL
-    xp = jnp.pad(x, ((0, 0), (0, n_samples)))
 
-    # per-candidate windows [B, K, n_samples] — vmap'd dynamic_slice (a
-    # fancy-index gather with a [B, K, S] index tensor is ~8x slower on TPU)
-    win = jax.vmap(
-        lambda row, ss: jax.vmap(
-            lambda s0: jax.lax.dynamic_slice_in_dim(row, s0, n_samples),
-            in_axes=0,
-        )(ss)
-    )(xp, det.start)
+    # per-candidate windows [B, K, n_samples] — Pallas DMA extraction on
+    # TPU, vmap'd dynamic_slice elsewhere (kernels/extract.py)
+    from liquiddsp_tpu.kernels.extract import extract_windows
+
+    win = extract_windows(x, det.start, n_samples)
 
     # NCO derotation + gain normalization. The rotation exp(-j(dphi*n+phi))
     # is built as a coarse x fine outer product — 2 complex multiplies per

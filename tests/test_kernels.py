@@ -50,3 +50,31 @@ class TestCorrelatorKernel:
         np.testing.assert_allclose(
             np.asarray(d_xla.gamma), np.asarray(d_pal.gamma), rtol=1e-4
         )
+
+
+class TestExtractKernel:
+    """Pallas DMA window extractor (kernels/extract.py) vs XLA fallback."""
+
+    def test_interpret_matches_xla(self):
+        from liquiddsp_tpu.kernels.extract import extract_windows, extract_windows_xla
+
+        rng = np.random.default_rng(0)
+        x = (
+            rng.standard_normal((3, 2500)) + 1j * rng.standard_normal((3, 2500))
+        ).astype(np.complex64)
+        starts = rng.integers(0, 2499, (3, 7)).astype(np.int32)
+        n = 300  # not a lane multiple — exercises padding/trim
+        a = extract_windows(jnp.asarray(x), jnp.asarray(starts), n, backend="xla")
+        b = extract_windows(
+            jnp.asarray(x), jnp.asarray(starts), n, backend="pallas_interpret"
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_edge_start_reads_zero_pad(self):
+        from liquiddsp_tpu.kernels.extract import extract_windows
+
+        x = jnp.ones((1, 200), jnp.complex64)
+        starts = jnp.asarray([[150]], jnp.int32)
+        for backend in ("xla", "pallas_interpret"):
+            w = np.asarray(extract_windows(x, starts, 128, backend=backend))
+            assert w[0, 0, :50].real.all() and not w[0, 0, 50:].any()
