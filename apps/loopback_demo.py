@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--payload-len", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--native-io",
+        action="store_true",
+        help="stream all packets through the native C++ ring-buffer runtime "
+        "(one continuous stream chunked by a producer thread) instead of "
+        "per-packet arrays",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,36 +53,91 @@ def main():
     collector = MetricsCollector()
 
     n_ok = 0
-    for pkt in range(args.packets):
-        payload = rng.integers(0, 256, (1, args.payload_len), dtype=np.uint8)
-        frame = np.asarray(framegen.framegen(jnp.asarray(payload), cfg))
-        t = frame.shape[1] + 2048
-        x = np.zeros((1, t), dtype=np.complex64)
-        off = int(rng.integers(100, 1000))
-        x[0, off : off + frame.shape[1]] = frame
-        x *= np.exp(1j * args.cfo * np.arange(t))[None, :]
-        p_sig = np.mean(np.abs(frame) ** 2)
-        sigma = np.sqrt(p_sig / (2 * 10 ** (args.snr / 10)))
-        x = (x + sigma * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))).astype(np.complex64)
-        infos = rx.work(x)
-        collector.samples += t
-        for info in infos:
-            collector.count_packet(
-                info["modulation"], info["inner_code"], info["outer_code"],
-                bool(info["payload_valid"]),
-            )
-            if info["payload_valid"] and np.array_equal(
-                np.asarray(info["payload"]), payload[0]
-            ):
-                n_ok += 1
+    if args.native_io:
+        n_ok = _run_native_io(args, cfg, rng, collector)
+    else:
+        for pkt in range(args.packets):
+            payload = rng.integers(0, 256, (1, args.payload_len), dtype=np.uint8)
+            frame = np.asarray(framegen.framegen(jnp.asarray(payload), cfg))
+            t = frame.shape[1] + 2048
+            x = np.zeros((1, t), dtype=np.complex64)
+            off = int(rng.integers(100, 1000))
+            x[0, off : off + frame.shape[1]] = frame
+            x *= np.exp(1j * args.cfo * np.arange(t))[None, :]
+            p_sig = np.mean(np.abs(frame) ** 2)
+            sigma = np.sqrt(p_sig / (2 * 10 ** (args.snr / 10)))
+            x = (x + sigma * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))).astype(np.complex64)
+            infos = rx.work(x)
+            collector.samples += t
+            for info in infos:
+                collector.count_packet(
+                    info["modulation"], info["inner_code"], info["outer_code"],
+                    bool(info["payload_valid"]),
+                )
+                if info["payload_valid"] and np.array_equal(
+                    np.asarray(info["payload"]), payload[0]
+                ):
+                    n_ok += 1
 
     print(f"packets sent: {args.packets}")
+    if args.native_io:
+        print("io path: native C++ ring-buffer runtime (threaded source)")
     print(f"payloads recovered bit-exactly: {n_ok}")
     print(f"config counters (received/correct): "
           f"{int(collector.num_received.sum())}/{int(collector.num_correct.sum())}")
     rep = collector.report()
     print(f"processed {rep['samples']} samples in {rep['elapsed_s']:.2f}s "
           f"({rep['samples_per_sec']:.0f} samp/s host-loop rate)")
+
+
+def _run_native_io(args, cfg, rng, collector) -> int:
+    """TX all packets into one continuous stream, push it through the native
+    C++ ring-buffer runtime (producer thread -> chunked reads), and decode
+    with the stateful StreamingRx — the full streaming path end-to-end."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from liquiddsp_tpu.phy import framegen
+    from liquiddsp_tpu.phy.frame_spec import FrameSpec
+    from liquiddsp_tpu.runtime.native import NativeChunkSource
+    from liquiddsp_tpu.runtime.stream import StreamingRx
+
+    spec = FrameSpec(cfg)
+    f = spec.frame_samples
+    gap = 600
+    payloads = rng.integers(0, 256, (args.packets, args.payload_len), dtype=np.uint8)
+    frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+    t = args.packets * (f + gap) + 512
+    x = np.zeros(t, dtype=np.complex64)
+    for i in range(args.packets):
+        off = 256 + i * (f + gap)
+        x[off : off + f] = frames[i]
+    x = x * np.exp(1j * args.cfo * np.arange(t)).astype(np.complex64)
+    p_sig = np.mean(np.abs(frames) ** 2)
+    sigma = np.sqrt(p_sig / (2 * 10 ** (args.snr / 10)))
+    x = (x + sigma * (rng.standard_normal(t) + 1j * rng.standard_normal(t))).astype(
+        np.complex64
+    )
+
+    chunk = max(4096, 2 * f)
+    rx = StreamingRx(cfg, batch=1, chunk_len=chunk)
+    src = NativeChunkSource(x, chunk_len=chunk, overlap=0)
+    want = {bytes(p) for p in payloads}
+    n_ok = 0
+    for c in src.chunks():
+        res = rx.step(jnp.asarray(c[None, :]))
+        ok = np.asarray(res.payload_valid)[0]
+        for k in np.nonzero(ok)[0]:
+            collector.count_packet(
+                int(np.asarray(res.modulation)[0, k]),
+                int(np.asarray(res.inner_code)[0, k]),
+                int(np.asarray(res.outer_code)[0, k]),
+                True,
+            )
+            if bytes(np.asarray(res.payload)[0, k]) in want:
+                n_ok += 1
+        collector.samples += chunk
+    return n_ok
 
 
 if __name__ == "__main__":

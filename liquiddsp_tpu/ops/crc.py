@@ -26,6 +26,8 @@ CRC24_POLY = 0x864CFB
 CRC24_INIT = 0xB704CE
 CRC16_POLY = 0x1021
 CRC16_INIT = 0xFFFF
+CRC32_POLY_REFLECTED = 0xEDB88320
+CRC32_INIT = 0xFFFFFFFF
 
 
 @functools.lru_cache(maxsize=None)
@@ -60,6 +62,16 @@ def crc24_host(data: bytes) -> int:
 
 def crc16_host(data: bytes) -> int:
     return _crc_host(data, CRC16_POLY, 16, CRC16_INIT)
+
+
+def crc32_host(data: bytes) -> int:
+    """Standard reflected CRC-32 (IEEE 802.3 / zlib-compatible)."""
+    reg = CRC32_INIT
+    for byte in data:
+        reg ^= byte
+        for _ in range(8):
+            reg = (reg >> 1) ^ (CRC32_POLY_REFLECTED if reg & 1 else 0)
+    return reg ^ 0xFFFFFFFF
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,6 +118,36 @@ def _crc_jax(msg_bytes: jax.Array, poly: int, width: int, init: int) -> jax.Arra
         [1 << (width - 1 - b) for b in range(width)], dtype=jnp.uint32
     )
     return jnp.sum(crc_bits * weights, axis=-1).astype(jnp.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _crc32_matrix(length: int):
+    """Reflected CRC-32 is also GF(2)-affine in the message bits; matrix
+    columns come from the reflected host reference (bit j of byte i is the
+    2^(j) bit — reflected convention, LSB-first within the byte)."""
+    rows = []
+    for j in range(8 * length):
+        msg = bytearray(length)
+        msg[j // 8] = 1 << (j % 8)
+        rows.append(crc32_host(bytes(msg)) ^ crc32_host(bytes(length)))
+    c0 = crc32_host(bytes(length))
+    f = np.array(
+        [[(r >> b) & 1 for b in range(32)] for r in rows], dtype=np.float32
+    )
+    c0_bits = np.array([(c0 >> b) & 1 for b in range(32)], dtype=np.float32)
+    return f, c0_bits
+
+
+def crc32(msg_bytes: jax.Array) -> jax.Array:
+    """Reflected CRC-32 (zlib-compatible) over uint8 [..., L] -> uint32 [...]."""
+    length = msg_bytes.shape[-1]
+    f_np, c0_np = _crc32_matrix(length)
+    shifts = jnp.arange(8, dtype=jnp.uint8)  # LSB-first (reflected)
+    bits = (msg_bytes[..., None] >> shifts) & 1
+    bits = bits.reshape(msg_bytes.shape[:-1] + (8 * length,)).astype(jnp.float32)
+    par = jnp.mod(bits @ jnp.asarray(f_np) + jnp.asarray(c0_np), 2.0)
+    weights = jnp.asarray([1 << b for b in range(32)], dtype=jnp.uint32)
+    return jnp.sum(par.astype(jnp.uint32) * weights, axis=-1).astype(jnp.uint32)
 
 
 def crc24(msg_bytes: jax.Array) -> jax.Array:

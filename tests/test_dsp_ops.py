@@ -101,3 +101,19 @@ class TestResample:
         want = np.cos(2 * np.pi * 0.01 * pos)
         sel = (pos > 20) & (pos < 950)
         np.testing.assert_allclose(y.real[sel], want[sel], atol=5e-3)
+
+
+class TestCrc32:
+    def test_matches_zlib(self):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from liquiddsp_tpu.ops import crc
+
+        rng = np.random.default_rng(7)
+        msgs = rng.integers(0, 256, (5, 33), dtype=np.uint8)
+        got = np.asarray(crc.crc32(jnp.asarray(msgs)))
+        want = np.array([zlib.crc32(bytes(m)) for m in msgs], dtype=np.uint32)
+        np.testing.assert_array_equal(got, want)
+        assert crc.crc32_host(bytes(msgs[0])) == want[0]
