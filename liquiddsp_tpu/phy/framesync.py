@@ -245,12 +245,46 @@ def sync_common(
     return det, syms, (hdr_valid, user, plen, mod, inner, outer)
 
 
-def decode_payload_symbols(syms: jax.Array, cfg: FrameConfig):
+def _dd_phase_track(pay: jax.Array, mod: int, seg: int = 64, iters: int = 2) -> jax.Array:
+    """Decision-directed segment-wise carrier tracking over payload symbols.
+
+    The header-based refinement (_refine_carrier) extrapolates a linear
+    phase model far beyond the header; residual CFO estimation error
+    accumulates over long payloads (thousands of symbols for low-rate
+    configs) and breaks coherent demod. liquid's flexframesync tracks the
+    carrier with a per-symbol PLL through the whole frame (SURVEY.md
+    section 2.2 AGC/NCO/symbol-sync row); a sequential PLL is a poor TPU
+    shape, so this applies the block-dense equivalent: split the payload
+    into ``seg``-symbol segments, estimate each segment's residual phase
+    from its own hard decisions (sum of r*conj(decision)), derotate, and
+    iterate. Differential schemes are returned unchanged (immune to slow
+    phase drift by construction).
+    """
+    if modem.is_differential(mod):
+        return pay
+    n = pay.shape[-1]
+    nseg = -(-n // seg)
+    pad = nseg * seg - n
+    for _ in range(iters):
+        p = jnp.pad(pay, [(0, 0)] * (pay.ndim - 1) + [(0, pad)])
+        p = p.reshape(pay.shape[:-1] + (nseg, seg))
+        idx = modem.demod_hard(p, mod)
+        ref = jnp.asarray(modem.constellation(mod))[idx]
+        e = jnp.sum(p * jnp.conj(ref), axis=-1)  # [..., nseg]
+        rot = jnp.exp(-1j * jnp.angle(e))[..., None]
+        p = (p * rot).reshape(pay.shape[:-1] + (nseg * seg,))
+        pay = p[..., :n]
+    return pay
+
+
+def decode_payload_symbols(syms: jax.Array, cfg: FrameConfig, track: bool = True):
     """Static-config payload back-end: symbols [.., n_syms >= frame_syms] ->
     (payload bytes [..., payload_len], crc_ok bool[...])."""
     spec = fs.FrameSpec(cfg)
     h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     pay = syms[..., h1 : h1 + spec.payload_syms]
+    if track:
+        pay = _dd_phase_track(pay, cfg.modulation)
     noise_var = 0.1
     llr = modem.demod_soft_bits(pay, cfg.modulation, noise_var)
     llr = llr[..., : spec.inner_bits]  # drop modulation pad bits

@@ -176,3 +176,36 @@ class TestLoopback:
         assert pv.sum() == 2
         got = {bytes(np.asarray(res.payload[0, i])) for i in range(4) if m[i]}
         assert got == {bytes(p1[0]), bytes(p2[0])}
+
+
+class TestPayloadPhaseTracking:
+    def test_long_frame_survives_cfo(self):
+        """Long low-rate frames accumulate residual-CFO phase drift beyond
+        what header-based refinement corrects; the segment-wise DD tracker
+        (framesync._dd_phase_track) must hold coherence to the frame end.
+        Regression: BPSK + V27 + Golay (≈2400 payload symbols) at CFO."""
+        import jax.numpy as jnp
+
+        from liquiddsp_tpu.core.config import FrameConfig
+        from liquiddsp_tpu.phy import framegen
+        from liquiddsp_tpu.phy.framesync import framesync_fixed
+
+        cfg = FrameConfig(modulation=0, inner_code=1, outer_code=1, payload_len=64)
+        rng = np.random.default_rng(11)
+        payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
+        frame = np.asarray(framegen.framegen(jnp.asarray(payload), cfg))
+        f = frame.shape[1]
+        t = f + 1024
+        x = np.zeros((1, t), dtype=np.complex64)
+        x[0, 300 : 300 + f] = frame
+        # CFO well inside the detector's bin range, SNR comfortable
+        x = x * np.exp(1j * 0.003 * np.arange(t))[None, :]
+        sigma = np.sqrt(np.mean(np.abs(frame) ** 2) / (2 * 10 ** (20 / 10)))
+        x = (
+            x + sigma * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+        ).astype(np.complex64)
+        res = framesync_fixed(jnp.asarray(x), cfg, max_frames=2)
+        ok = np.asarray(res.payload_valid)[0]
+        assert ok.any()
+        k = int(np.nonzero(ok)[0][0])
+        np.testing.assert_array_equal(np.asarray(res.payload)[0, k], payload[0])
