@@ -25,9 +25,9 @@ import time
 import os
 import numpy as np
 
-# block-Toeplitz MXU matmul correlator (kernels/correlator.py) — the fast
-# path on TPU; override via env to compare backends
-os.environ.setdefault("LIQUIDDSP_CORRELATOR_BACKEND", "mm")
+# fused block-Toeplitz Pallas correlator (kernels/correlator.py) — the fast
+# path on TPU; override via env to compare backends ("mm", "xla")
+os.environ.setdefault("LIQUIDDSP_CORRELATOR_BACKEND", "pallas")
 
 sys.path.insert(0, ".")
 

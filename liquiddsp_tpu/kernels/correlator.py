@@ -12,11 +12,14 @@ and emits only the reduced per-lag quantities (rho2, argmax bin, peak
 correlation) — never materializing the [F, T] correlation surface in HBM,
 which is what the XLA FFT path does (phy/detector.correlate).
 
-MXU formulation: a [TILE, L] window matrix is built in VMEM from a
-[TILE + L] strip of the signal (L static slices), then one
-[TILE, L] x [L, 2F] matmul produces all F complex correlations; window
-energy is a VPU row-reduction over the same matrix. Arithmetic intensity
-~2*L*F flops per input sample on the MXU vs ~8 bytes of HBM traffic.
+MXU formulation (block-Toeplitz, same math as correlate_reduced_mm): the
+stream is cut into L-sample blocks; all L lags of a block come from
+[X_k | X_{k+1}] @ M with M the stacked lower/upper Toeplitz template
+matrices. The kernel consumes two pre-shifted [B, NB, L] views (so every
+BlockSpec window is aligned — Mosaic cannot slice at +1-block offsets),
+runs eight [NBT, L] x [L, F*L] real matmuls per grid step on the MXU, and
+fuses the energy Toeplitz matmul, the max/argmax over templates, and the
+normalization — only the reduced per-lag rows ever reach HBM.
 
 The public entry ``correlate_reduced`` dispatches to the Pallas kernel on
 TPU and to an equivalent XLA fallback elsewhere (tests run both and compare).
@@ -32,134 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # lags per grid step
-
-
-def _kernel(xr_hbm, xi_hbm, s_ref, out_ref, *, l: int, f: int, es: float):
-    """One grid step: batch row b, lags [i*TILE, (i+1)*TILE).
-
-    xr/xi live in HBM untiled (overlapping [TILE + L] strips are DMA'd per
-    tile — BlockSpec offsets are block-shape-multiples, so overlap needs
-    manual copies; and TPU ANY-space blocks must be whole-array, so the
-    batch axis is a grid dimension, not a vmap). s: [L, 2F] template matrix
-    (conj packed). out block: [1, 8, TILE] rows = (rho2, fbin, c_re, c_im,
-    energy, 0, 0, 0) — lag on the lane axis.
-    """
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-
-    def body(xr_v, xi_v, sem):
-        cp1 = pltpu.make_async_copy(
-            xr_hbm.at[b, pl.ds(i * TILE, TILE + l)], xr_v, sem
-        )
-        cp1.start()
-        cp1.wait()
-        cp2 = pltpu.make_async_copy(
-            xi_hbm.at[b, pl.ds(i * TILE, TILE + l)], xi_v, sem
-        )
-        cp2.start()
-        cp2.wait()
-        _compute(xr_v[:], xi_v[:], s_ref, out_ref, l=l, f=f, es=es)
-
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((TILE + l,), jnp.float32),
-        pltpu.VMEM((TILE + l,), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-    )
-
-
-def _compute(xr, xi, s_ref, out_ref, *, l: int, f: int, es: float):
-    # window matrices [TILE, L] via L static slices (dynamic_slice on values
-    # does not lower in Pallas TPU; slice starts here are Python ints)
-    wr = jnp.stack([xr[n : n + TILE] for n in range(l)], axis=1)
-    wi = jnp.stack([xi[n : n + TILE] for n in range(l)], axis=1)
-    s = s_ref[:]  # [L, 2F]: [conj_re | conj_im] ... see wrapper packing
-    sr = s[:, :f]  # Re(conj(s)) = Re(s)
-    si = s[:, f:]  # -Im(s) = Im(conj(s))
-    # c = (wr + j wi) @ (sr + j si): re = wr@sr - wi@si ; im = wr@si + wi@sr
-    c_re = jnp.dot(wr, sr, preferred_element_type=jnp.float32) - jnp.dot(
-        wi, si, preferred_element_type=jnp.float32
-    )
-    c_im = jnp.dot(wr, si, preferred_element_type=jnp.float32) + jnp.dot(
-        wi, sr, preferred_element_type=jnp.float32
-    )
-    mag2 = c_re * c_re + c_im * c_im  # [TILE, F]
-    energy = jnp.sum(wr * wr + wi * wi, axis=1)  # [TILE]
-    best = jnp.argmax(mag2, axis=1).astype(jnp.int32)  # [TILE]
-    m2 = jnp.max(mag2, axis=1)
-    rho2 = m2 / (es * jnp.maximum(energy, 1e-12))
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE, f), 1) == best[:, None]
-    ).astype(jnp.float32)
-    cb_re = jnp.sum(c_re * onehot, axis=1)
-    cb_im = jnp.sum(c_im * onehot, axis=1)
-    zero = jnp.zeros_like(rho2)
-    out_ref[0, :, :] = jnp.stack(
-        [rho2, best.astype(jnp.float32), cb_re, cb_im, energy, zero, zero, zero],
-        axis=0,
-    )
-
-
-def _pack_templates(templates: np.ndarray) -> np.ndarray:
-    """[F, L] complex -> [L, 2F] float32 (conj packed: [Re(s) | Im(s)]...).
-
-    With columns sr = Re(s), si = -Im(s), the kernel's complex matmul
-    computes sum x[t+n] * conj(s[n]).
-    """
-    f, l = templates.shape
-    sr = np.real(templates).T.astype(np.float32)  # [L, F]
-    si = (-np.imag(templates).T).astype(np.float32)
-    return np.concatenate([sr, si], axis=1)  # [L, 2F]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "es"))
-def _run_batch(xr, xi, s_mat, es, *, interpret: bool):
-    """xr/xi [B, T_padded] -> [B, 8, n_tiles*TILE] packed rows."""
-    b, t_padded = xr.shape
-    l = s_mat.shape[0]
-    f = s_mat.shape[1] // 2
-    n_tiles = (t_padded - l) // TILE
-    grid = (b, n_tiles)
-    kernel = functools.partial(_kernel, l=l, f=f, es=float(es))
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, 8, n_tiles * TILE), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((l, 2 * f), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, TILE), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(xr, xi, s_mat)
-    return out
-
-
-def correlate_reduced_pallas(
-    x: jax.Array, templates: np.ndarray, interpret: bool = False
-):
-    """x [B, T] complex64, templates [F, L] complex -> dict of [B, T] arrays:
-    rho2, fbin (int32), corr (complex64), energy."""
-    f, l = templates.shape
-    b, t = x.shape
-    es = float(np.sum(np.abs(templates[0]) ** 2))
-    n_tiles = -(-t // TILE)
-    pad = n_tiles * TILE + l - t
-    xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (0, pad)))
-    xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (0, pad)))
-    s_mat = jnp.asarray(_pack_templates(templates))
-    out = _run_batch(xr, xi, s_mat, es, interpret=interpret)  # [B, 8, nt*TILE]
-    out = out[:, :, :t]
-    return {
-        "rho2": out[:, 0],
-        "fbin": out[:, 1].astype(jnp.int32),
-        "corr": (out[:, 2] + 1j * out[:, 3]).astype(jnp.complex64),
-        "energy": out[:, 4],
-    }
+NBT = 128  # signal blocks (of L lags each) per grid step
 
 
 @functools.lru_cache(maxsize=None)
@@ -202,6 +78,100 @@ def _template_key(templates: np.ndarray) -> int:
     key = hash(templates.tobytes())
     _TEMPLATE_CACHE[key] = templates
     return key
+
+
+def _fused_kernel(
+    x0r, x0i, x1r, x1i, mlr, mli, mhr, mhi, el, eh,
+    rho_o, fb_o, cre_o, cim_o, en_o, *, f: int, l: int, inv_es: float,
+):
+    """One grid step: NBT lag-blocks (NBT*L lags) of one batch row."""
+    a0r, a0i = x0r[0], x0i[0]  # [NBT, L]
+    a1r, a1i = x1r[0], x1i[0]
+    dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+    # c = X0 @ M_low + X1 @ M_high, complex via 8 real matmuls
+    cr = dot(a0r, mlr) - dot(a0i, mli) + dot(a1r, mhr) - dot(a1i, mhi)
+    ci = dot(a0r, mli) + dot(a0i, mlr) + dot(a1r, mhi) + dot(a1i, mhr)
+    p0 = a0r * a0r + a0i * a0i
+    p1 = a1r * a1r + a1i * a1i
+    en = dot(p0, el) + dot(p1, eh)  # [NBT, L]
+    mag2 = cr * cr + ci * ci  # [NBT, F*L]
+    # max/argmax over templates via F static lane slices
+    m2 = mag2[:, :l]
+    fb = jnp.zeros_like(m2)
+    cbr = cr[:, :l]
+    cbi = ci[:, :l]
+    for fi in range(1, f):
+        sl = mag2[:, fi * l : (fi + 1) * l]
+        upd = sl > m2
+        m2 = jnp.where(upd, sl, m2)
+        fb = jnp.where(upd, float(fi), fb)
+        cbr = jnp.where(upd, cr[:, fi * l : (fi + 1) * l], cbr)
+        cbi = jnp.where(upd, ci[:, fi * l : (fi + 1) * l], cbi)
+    rho_o[0] = m2 * inv_es / jnp.maximum(en, 1e-12)
+    fb_o[0] = fb
+    cre_o[0] = cbr
+    cim_o[0] = cbi
+    en_o[0] = en
+
+
+@functools.partial(jax.jit, static_argnames=("es", "interpret"))
+def _run_fused(x0r, x0i, x1r, x1i, mats, es, *, interpret: bool):
+    b, nb, l = x0r.shape
+    mlr, mli, mhr, mhi, el, eh = mats
+    f = mlr.shape[1] // l
+    n_tiles = nb // NBT
+    xspec = pl.BlockSpec((1, NBT, l), lambda bi, i: (bi, i, 0))
+    cspec = lambda a: pl.BlockSpec(a.shape, lambda bi, i: (0,) * a.ndim)
+    ospec = pl.BlockSpec((1, NBT, l), lambda bi, i: (bi, i, 0))
+    kernel = functools.partial(
+        _fused_kernel, f=f, l=l, inv_es=float(1.0 / es)
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb, l), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[xspec] * 4 + [cspec(m) for m in mats],
+        out_specs=[ospec] * 5,
+        out_shape=[oshape] * 5,
+        interpret=interpret,
+    )(x0r, x0i, x1r, x1i, *mats)
+
+
+def correlate_reduced_pallas(
+    x: jax.Array, templates: np.ndarray, interpret: bool = False
+):
+    """x [B, T] complex64, templates [F, L] complex -> dict of [B, T] arrays:
+    rho2, fbin (int32), corr (complex64), energy. Fused Pallas kernel."""
+    f, l = templates.shape
+    b, t = x.shape
+    es = float(np.sum(np.abs(templates[0]) ** 2))
+    mr_np, mi_np, em_np = _toeplitz_mats(_template_key(templates))
+    nb = -(-t // l)
+    nb = -(-nb // NBT) * NBT  # whole tiles
+    pad = (nb + 1) * l - t
+    xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (0, pad)))
+    xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (0, pad)))
+    xr = xr.reshape(b, nb + 1, l)
+    xi = xi.reshape(b, nb + 1, l)
+    mats = (
+        jnp.asarray(mr_np[:l]),
+        jnp.asarray(mi_np[:l]),
+        jnp.asarray(mr_np[l:]),
+        jnp.asarray(mi_np[l:]),
+        jnp.asarray(em_np[:l]),
+        jnp.asarray(em_np[l:]),
+    )
+    outs = _run_fused(
+        xr[:, :nb], xi[:, :nb], xr[:, 1:], xi[:, 1:], mats, es, interpret=interpret
+    )
+    flat = lambda a: a.reshape(b, nb * l)[:, :t]
+    rho2, fb, cre, cim, en = (flat(o) for o in outs)
+    return {
+        "rho2": rho2,
+        "fbin": fb.astype(jnp.int32),
+        "corr": (cre + 1j * cim).astype(jnp.complex64),
+        "energy": en,
+    }
 
 
 def correlate_reduced_mm(x: jax.Array, templates: np.ndarray):
@@ -276,7 +246,9 @@ def correlate_reduced(x: jax.Array, templates: np.ndarray, backend: str = "auto"
     if backend == "auto":
         import os
 
-        backend = os.environ.get("LIQUIDDSP_CORRELATOR_BACKEND") or "mm"
+        backend = os.environ.get("LIQUIDDSP_CORRELATOR_BACKEND") or (
+            "pallas" if jax.default_backend() not in ("cpu",) else "mm"
+        )
     if backend == "mm":
         return correlate_reduced_mm(x, templates)
     if backend == "pallas":
