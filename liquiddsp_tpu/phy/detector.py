@@ -120,12 +120,27 @@ def correlate(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return corr, energy
 
 
+def fine_cfo(wins: jax.Array, coarse: jax.Array) -> jax.Array:
+    """Fine CFO from raw preamble windows [..., TEMPLATE_LEN]: derotate by
+    the coarse (bin) estimate, then dual-half correlation phase slope against
+    the template — the qdetector residual-offset refinement."""
+    s = jnp.asarray(template())
+    half = TEMPLATE_LEN // 2
+    n = jnp.arange(TEMPLATE_LEN, dtype=jnp.float32)
+    derot = jnp.exp(-1j * coarse[..., None] * n)
+    wins_d = wins * derot
+    c1 = jnp.sum(wins_d[..., :half] * jnp.conj(s[:half]), axis=-1)
+    c2 = jnp.sum(wins_d[..., half:] * jnp.conj(s[half:]), axis=-1)
+    return jnp.angle(c2 * jnp.conj(c1)) / half
+
+
 def detect(
     x: jax.Array,
     max_frames: int,
     threshold: float = DEFAULT_THRESHOLD,
     min_spacing: int = TEMPLATE_LEN,
     backend: str = "auto",
+    fine: bool = True,
 ) -> Detections:
     """Find up to ``max_frames`` preamble hits in [B, T] samples.
 
@@ -133,7 +148,9 @@ def detect(
     local-max suppression radius (a frame start suppresses weaker hits within
     +/- min_spacing samples). ``backend``: "auto" uses the fused Pallas
     correlator kernel on TPU and the XLA FFT path on CPU
-    (kernels/correlator.py).
+    (kernels/correlator.py). ``fine=False`` skips the fine CFO refinement
+    (dphi is then the coarse bin center) — used by the framesync, which
+    refines from its own frame windows instead of re-extracting preambles.
     """
     from liquiddsp_tpu.kernels.correlator import correlate_reduced
 
@@ -187,22 +204,15 @@ def detect(
     tau = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
     tau = jnp.clip(tau, -0.5, 0.5)
 
-    # CFO: coarse (best bin) + fine (dual-half correlation phase slope)
+    # CFO: coarse (best bin) + optional fine (dual-half phase slope)
     coarse = jnp.asarray([cfo_of_bin(bb) for bb in CFO_BINS], dtype=jnp.float32)[fbin]
-    s = jnp.asarray(template())
-    half = TEMPLATE_LEN // 2
+    if fine:
+        from liquiddsp_tpu.kernels.extract import extract_windows
 
-    from liquiddsp_tpu.kernels.extract import extract_windows
-
-    wins = extract_windows(x, jnp.clip(start, 0, t - 1), TEMPLATE_LEN)
-    # [B, K, 128]; derotate by coarse CFO before fine estimate
-    n = jnp.arange(TEMPLATE_LEN, dtype=jnp.float32)
-    derot = jnp.exp(-1j * coarse[..., None] * n)
-    wins_d = wins * derot
-    c1 = jnp.sum(wins_d[..., :half] * jnp.conj(s[:half]), axis=-1)
-    c2_ = jnp.sum(wins_d[..., half:] * jnp.conj(s[half:]), axis=-1)
-    fine = jnp.angle(c2_ * jnp.conj(c1)) / half
-    dphi = coarse + fine
+        wins = extract_windows(x, jnp.clip(start, 0, t - 1), TEMPLATE_LEN)
+        dphi = coarse + fine_cfo(wins, coarse)
+    else:
+        dphi = coarse
 
     return Detections(
         mask=mask,

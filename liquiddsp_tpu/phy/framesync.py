@@ -111,25 +111,29 @@ def extract_symbols(
     Applies gain normalization, NCO derotation (CFO + phase), matched
     filtering with the per-candidate fractional-delay filter, and k=2
     decimation. ``n_syms`` is static (max frame symbols).
+    """
+    from liquiddsp_tpu.kernels.extract import extract_windows
 
-    TPU formulation: one window gather per candidate, then the matched
-    filter + decimation as a 15-tap polyphase FMA over the even/odd sample
-    phases — 30 statically-sliced fused multiply-adds over [B, K, n_syms],
-    no per-candidate convolution (a vmap'd ``jnp.convolve`` was the single
-    hottest op in the RX pipeline).
+    n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
+    win = extract_windows(x, det.start, n_samples)
+    return symbols_from_windows(win, det, n_syms, timing_bank)
+
+
+def symbols_from_windows(
+    win: jax.Array, det: Detections, n_syms: int, timing_bank: bool = True
+) -> jax.Array:
+    """Per-candidate raw windows [B, K, 2*n_syms + PULSE_TAIL] -> symbol
+    estimates [B, K, n_syms].
+
+    TPU formulation: matched filter + decimation as a 15-tap polyphase FMA
+    over the even/odd sample phases — 30 statically-sliced fused
+    multiply-adds over [B, K, n_syms], no per-candidate convolution (a
+    vmap'd ``jnp.convolve`` was the single hottest op in the RX pipeline).
 
     ``timing_bank=False`` skips per-candidate fractional-delay selection
     (all candidates share the symmetric prototype).
     """
-    b, t = x.shape
-    k_samp = fs.K_SAMP
-    n_samples = k_samp * n_syms + fs.PULSE_TAIL
-
-    # per-candidate windows [B, K, n_samples] — Pallas DMA extraction on
-    # TPU, vmap'd dynamic_slice elsewhere (kernels/extract.py)
-    from liquiddsp_tpu.kernels.extract import extract_windows
-
-    win = extract_windows(x, det.start, n_samples)
+    n_samples = win.shape[-1]
 
     # NCO derotation + gain normalization. The rotation exp(-j(dphi*n+phi))
     # is built as a coarse x fine outer product — 2 complex multiplies per
@@ -221,26 +225,31 @@ def sync_common(
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields). ``n_syms`` is the static symbol-buffer
-    size (the longest frame the caller expects)."""
-    det = detect(x, max_frames, threshold)
-    syms = extract_symbols(x, det, n_syms, timing_bank)  # [B, K, n_syms]
+    size (the longest frame the caller expects).
+
+    One window extraction serves both the fine CFO estimate (from the
+    preamble prefix of each frame window) and symbol recovery; the header
+    is demod/decoded once, after decision-directed carrier refinement
+    (the refined decode strictly dominates the raw one at any SNR where
+    either works — measured across the detection sweep suite).
+    """
+    from liquiddsp_tpu.kernels.extract import extract_windows
+    from liquiddsp_tpu.phy.detector import TEMPLATE_LEN, fine_cfo
+
+    det = detect(x, max_frames, threshold, fine=False)
+    n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
+    win = extract_windows(x, det.start, n_samples)
+    det = dataclasses.replace(
+        det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi)
+    )
+    syms = symbols_from_windows(win, det, n_syms, timing_bank)
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
-    hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
-
     if refine:
         hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
         hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
         syms = _refine_carrier(syms, hdr_ref)
-        hdr_valid2, user2, plen2, mod2, inner2, outer2 = decode_header(syms[..., h0:h1])
-        # keep refined decode where it succeeds, else original
-        use2 = hdr_valid2
-        hdr_valid = hdr_valid | hdr_valid2
-        user = jnp.where(use2[..., None], user2, user)
-        plen = jnp.where(use2, plen2, plen)
-        mod = jnp.where(use2, mod2, mod)
-        inner = jnp.where(use2, inner2, inner)
-        outer = jnp.where(use2, outer2, outer)
+    hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
 
     return det, syms, (hdr_valid, user, plen, mod, inner, outer)
 
