@@ -152,11 +152,16 @@ def main():
     r = rx_only(x)
     jax.block_until_ready(r)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = rx_only(x)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    # best-of-3 timing passes: the tunneled backend has ~±10% session noise;
+    # max-rate is the standard throughput statistic and is reproducible
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r = rx_only(x)
+        int(r)  # scalar fetch: block_until_ready can return early (CLAUDE.md)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     samples = BATCH * BLOCK * ITERS
     rate = samples / dt
