@@ -360,5 +360,14 @@ class ArmStore:
         )
         for row in self.ki_log:
             cur.execute("INSERT OR REPLACE INTO KI VALUES (?,?,?,?,?)", row)
+        # rules1: vestigial two-row seed table the reference creates in
+        # rules.db (py:539-552) — kept for schema parity
+        cur.execute("drop table if exists rules1")
+        cur.execute(
+            "CREATE TABLE rules1 (idd INT PRIMARY KEY NOT NULL, ID INT NOT NULL,"
+            " MODULATION INT NOT NULL, Innercode INT NOT NULL, Outercode INT NOT NULL)"
+        )
+        cur.execute("INSERT INTO rules1 VALUES (1, 1, 0, 0, 0)")
+        cur.execute("INSERT INTO rules1 VALUES (2, 2, 0, 0, 0)")
         conn.commit()
         conn.close()

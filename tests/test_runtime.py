@@ -155,3 +155,43 @@ class TestClosedLoop:
         assert ce.num_packets == 12
         # the TX config actually moved at least once during adaptation
         assert tx.num_frames == 12
+
+
+class TestChannelizedResampledRx:
+    def test_per_channel_clock_offset_resampling(self):
+        """BASELINE config 3 shape: independent channels whose front-ends run
+        at slightly different sample clocks; each channel is corrected with
+        the arbitrary polyphase resampler (ops/resample.py), then the batched
+        framesync decodes all channels in one block."""
+        import jax.numpy as jnp
+
+        from liquiddsp_tpu.core.config import FrameConfig
+        from liquiddsp_tpu.ops import resample
+        from liquiddsp_tpu.phy import framegen
+        from liquiddsp_tpu.phy.framesync import framesync_fixed
+
+        cfg = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=48)
+        rng = np.random.default_rng(5)
+        n_ch = 4
+        payloads = rng.integers(0, 256, (n_ch, 48), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+        f = frames.shape[1]
+        t = f + 1200
+        x = np.zeros((n_ch, t), dtype=np.complex64)
+        for c in range(n_ch):
+            x[c, 137 + 61 * c : 137 + 61 * c + f] = frames[c]
+        # per-channel sample-clock offsets up to 200 ppm
+        rates = 1.0 + np.array([0.0, 2e-4, -2e-4, 1e-4])
+        rows = [
+            np.asarray(
+                resample.arbitrary(jnp.asarray(x[c : c + 1]), float(rates[c]), t)
+            )[0]
+            for c in range(n_ch)
+        ]
+        y = jnp.asarray(np.stack(rows))
+        res = framesync_fixed(y, cfg, max_frames=2)
+        ok = np.asarray(res.payload_valid)
+        assert ok.any(axis=1).all(), f"some channel failed: {ok}"
+        for c in range(n_ch):
+            k = int(np.nonzero(ok[c])[0][0])
+            np.testing.assert_array_equal(np.asarray(res.payload)[c, k], payloads[c])
