@@ -168,12 +168,30 @@ def encode(bits: jax.Array, inner_code: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def decode(llrs: jax.Array, nbits: int, inner_code: int) -> jax.Array:
+SEG_CORE = 128  # decoded bits per parallel Viterbi segment
+SEG_OVERLAP = 64  # warmup/cooldown depth (>= ~5K survivor merge depth)
+_STRONG = 1e4  # LLR asserting a known zero bit (pre/post-history padding)
+
+
+def decode(
+    llrs: jax.Array,
+    nbits: int,
+    inner_code: int,
+    segmented: bool | None = None,
+    backend: str = "auto",
+) -> jax.Array:
     """Soft-input Viterbi: llrs [..., num_coded_bits] -> bits [..., nbits] int8.
 
     LLR convention: positive = bit 0 more likely (matches
     ops.modem.demod_soft_bits). Hard bits b can be passed as ``1 - 2b``.
     Terminated trellis (forced final state 0). ``nbits``/``inner_code`` static.
+
+    Backends: "pallas" (default on TPU) runs the exact VMEM-resident kernel
+    (kernels/viterbi.py — the lax.scan formulation round-trips the metric
+    carry through HBM every trellis step and is ~20x slower at batch);
+    "xla" is the scan reference; ``segmented=True`` additionally cuts the
+    trellis into parallel overlap segments (approximate at the overlap
+    boundaries with astronomically small probability; kept for study).
     """
     if inner_code == 0:
         return (llrs[..., :nbits] < 0).astype(jnp.int8)
@@ -188,6 +206,54 @@ def decode(llrs: jax.Array, nbits: int, inner_code: int) -> jax.Array:
     keep_idx = jnp.asarray(np.nonzero(mask)[0])
     full = full.at[:, keep_idx].set(x)
     lam = full.reshape(b, steps, 2)
+
+    if backend == "auto":
+        import os
+
+        backend = os.environ.get("LIQUIDDSP_VITERBI_BACKEND") or (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
+    if backend in ("pallas", "pallas_interpret") and not segmented:
+        from liquiddsp_tpu.kernels.viterbi import viterbi_pallas
+
+        out0, out1 = _trellis_tables()
+        bits = viterbi_pallas(
+            lam, out0, out1, known_start=True, known_end=True,
+            interpret=backend == "pallas_interpret",
+        )
+        return bits[:, :nbits].reshape(batch_shape + (nbits,))
+
+    if segmented is None:
+        segmented = False
+    if segmented:
+        c, w = SEG_CORE, SEG_OVERLAP
+        s = -(-steps // c)
+        lw = c + 2 * w
+        # pad with strong zero-bit LLRs: the encoder sits at state 0 before
+        # t=0 and after termination, so asserted-zero fictional history is
+        # exactly the known-boundary condition, uniformly for every segment
+        pad_back = (s - 1) * c + lw - w - steps
+        lam_p = jnp.pad(
+            lam, ((0, 0), (w, pad_back), (0, 0)), constant_values=_STRONG
+        )
+        wins = jnp.stack(
+            [lam_p[:, i * c : i * c + lw] for i in range(s)], axis=1
+        )  # [B, S, Lw, 2]
+        core = _viterbi_run(
+            wins.reshape(b * s, lw, 2), known_start=False, known_end=False
+        )  # [B*S, Lw]
+        core = core.reshape(b, s, lw)[:, :, w : w + c].reshape(b, s * c)
+        bits = core[:, :steps]
+    else:
+        bits = _viterbi_run(lam, known_start=True, known_end=True)
+    return bits[:, :nbits].reshape(batch_shape + (nbits,)).astype(jnp.int8)
+
+
+def _viterbi_run(lam: jax.Array, known_start: bool, known_end: bool) -> jax.Array:
+    """Core ACS + traceback over [B, steps, 2] erasure-padded LLRs -> bits
+    [B, steps]. ``known_start/known_end`` pin state 0 at the boundaries
+    (terminated full decode); segments use uniform boundaries instead."""
+    b, steps, _ = lam.shape
 
     out0, out1 = _trellis_tables()
     # predecessor tables for new state s': p0 = s'>>1, p1 = (s'>>1)|32, u = s'&1
@@ -204,7 +270,10 @@ def decode(llrs: jax.Array, nbits: int, inner_code: int) -> jax.Array:
     pred1_j = jnp.asarray(pred1)
 
     neg_inf = jnp.float32(-1e9)
-    init_metric = jnp.full((b, NSTATES), neg_inf).at[:, 0].set(0.0)
+    if known_start:
+        init_metric = jnp.full((b, NSTATES), neg_inf).at[:, 0].set(0.0)
+    else:
+        init_metric = jnp.zeros((b, NSTATES), jnp.float32)
 
     def acs(metrics, lam_t):
         l0 = lam_t[:, 0:1]  # [B,1]
@@ -218,7 +287,9 @@ def decode(llrs: jax.Array, nbits: int, inner_code: int) -> jax.Array:
         new_metrics = new_metrics - jnp.max(new_metrics, axis=1, keepdims=True)
         return new_metrics, take1
 
-    _, decisions = jax.lax.scan(acs, init_metric, jnp.moveaxis(lam, 1, 0))
+    final_metric, decisions = jax.lax.scan(
+        acs, init_metric, jnp.moveaxis(lam, 1, 0)
+    )
     # decisions [steps, B, 64] bool: True -> predecessor had MSB set
 
     def traceback(state, dec_t):
@@ -227,10 +298,12 @@ def decode(llrs: jax.Array, nbits: int, inner_code: int) -> jax.Array:
         prev = (state >> 1) | jnp.where(d, NSTATES // 2, 0)
         return prev, u
 
-    final_state = jnp.zeros((b,), dtype=jnp.int32)  # terminated
+    if known_end:
+        final_state = jnp.zeros((b,), dtype=jnp.int32)  # terminated
+    else:
+        final_state = jnp.argmax(final_metric, axis=1).astype(jnp.int32)
     _, bits_rev = jax.lax.scan(traceback, final_state, decisions, reverse=True)
-    bits = jnp.moveaxis(bits_rev, 0, 1)  # [B, steps]
-    return bits[:, :nbits].reshape(batch_shape + (nbits,)).astype(jnp.int8)
+    return jnp.moveaxis(bits_rev, 0, 1)  # [B, steps]
 
 
 def decode_hard(bits: jax.Array, nbits: int, inner_code: int) -> jax.Array:

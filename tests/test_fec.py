@@ -159,3 +159,41 @@ class TestRegistry:
         obits_rx = registry.inner_decode(llr, obits.shape[-1], inner)
         got = registry.outer_decode(obits_rx, L, outer)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(msg))
+
+
+class TestSegmentedViterbi:
+    @pytest.mark.parametrize("inner", [1, 2, 4])
+    def test_segmented_matches_full(self, inner):
+        """Parallel overlap-segmented Viterbi == full sequential decode on
+        noisy long messages (survivor merge within the overlap)."""
+        rng = np.random.default_rng(21)
+        nbits = 1072
+        bits = rng.integers(0, 2, (3, nbits)).astype(np.int8)
+        coded = np.stack([conv.encode_host(b, inner) for b in bits])
+        llr = (1.0 - 2.0 * coded).astype(np.float32)
+        llr = llr + 0.45 * rng.standard_normal(llr.shape).astype(np.float32)
+        got_seg = np.asarray(
+            conv.decode(jnp.asarray(llr), nbits, inner, segmented=True)
+        )
+        got_full = np.asarray(
+            conv.decode(jnp.asarray(llr), nbits, inner, segmented=False)
+        )
+        np.testing.assert_array_equal(got_seg, got_full)
+        np.testing.assert_array_equal(got_full, bits)
+
+
+class TestPallasViterbi:
+    def test_interpret_matches_xla_all_rates(self):
+        """kernels/viterbi.py bit-exact vs the lax.scan reference decoder."""
+        rng = np.random.default_rng(31)
+        for inner in (1, 3, 5):
+            nbits = 120
+            bits = rng.integers(0, 2, (4, nbits)).astype(np.int8)
+            coded = np.stack([conv.encode_host(b, inner) for b in bits])
+            llr = (1.0 - 2.0 * coded).astype(np.float32)
+            llr = llr + 0.6 * rng.standard_normal(llr.shape).astype(np.float32)
+            ref = np.asarray(conv.decode(jnp.asarray(llr), nbits, inner, backend="xla"))
+            pal = np.asarray(
+                conv.decode(jnp.asarray(llr), nbits, inner, backend="pallas_interpret")
+            )
+            np.testing.assert_array_equal(ref, pal)
