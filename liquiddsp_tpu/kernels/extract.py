@@ -33,46 +33,41 @@ LANE = 128
 
 
 def _extract_kernel(
-    q_ref, r_ref, xr_hbm, xi_hbm, outr_ref, outi_ref, *, n_out: int, n_dma: int, k: int
+    q_ref, r_ref, x_hbm, outr_ref, outi_ref, *, n_out: int, n_dma: int, k: int
 ):
+    """x_hbm is [B, 2, Tpad] (real plane stacked on imag) so ONE DMA per
+    candidate moves both components as a [2, n_dma] tile."""
     b = pl.program_id(0)
 
-    def body(scr_r, scr_i, sems):
-        def issue(kk):
-            buf = kk % 2
-            q0 = q_ref[b, kk]
-            cpr = pltpu.make_async_copy(
-                xr_hbm.at[b, :, pl.ds(q0 * LANE, n_dma)],
-                scr_r.at[buf],
-                sems.at[buf, 0],
-            )
-            cpi = pltpu.make_async_copy(
-                xi_hbm.at[b, :, pl.ds(q0 * LANE, n_dma)],
-                scr_i.at[buf],
-                sems.at[buf, 1],
-            )
-            cpr.start()
-            cpi.start()
-            return cpr, cpi
+    depth = 8  # DMA pipeline depth (hides per-copy latency)
 
-        pending = issue(0)
+    def body(scr, sems):
+        def issue(kk):
+            buf = kk % depth
+            q0 = q_ref[b, kk]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, :, pl.ds(q0 * LANE, n_dma)],
+                scr.at[buf],
+                sems.at[buf],
+            )
+            cp.start()
+            return cp
+
+        pending = [issue(kk) for kk in range(min(depth - 1, k))]
         for kk in range(k):
-            nxt = issue(kk + 1) if kk + 1 < k else None
-            pending[0].wait()
-            pending[1].wait()
-            buf = kk % 2
+            if kk + depth - 1 < k:
+                pending.append(issue(kk + depth - 1))
+            pending.pop(0).wait()
+            buf = kk % depth
             shift = n_dma - r_ref[b, kk]  # left-rotate by r
-            wr = pltpu.roll(scr_r[buf], shift, axis=1)
-            wi = pltpu.roll(scr_i[buf], shift, axis=1)
-            outr_ref[0, kk] = wr[:, :n_out]
-            outi_ref[0, kk] = wi[:, :n_out]
-            pending = nxt
+            w = pltpu.roll(scr[buf], shift, axis=1)
+            outr_ref[0, kk] = w[0:1, :n_out]
+            outi_ref[0, kk] = w[1:2, :n_out]
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((2, 1, n_dma), jnp.float32),
-        pltpu.VMEM((2, 1, n_dma), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((depth, 2, n_dma), jnp.float32),
+        pltpu.SemaphoreType.DMA((depth,)),
     )
 
 
@@ -80,16 +75,13 @@ def _extract_kernel(
 def _extract_pallas(xr, xi, q, r, *, n_out: int, n_dma: int, interpret: bool):
     b, t = xr.shape
     k = q.shape[1]
-    # singleton middle axis so HBM source slices are [1, n] (matches the
-    # [1, n] scratch tile; reshaping a sliced 1D ref is unsupported)
-    xr = xr.reshape(b, 1, t)
-    xi = xi.reshape(b, 1, t)
+    # stack real on imag [B, 2, T]: one DMA per candidate moves both planes
+    x2 = jnp.stack([xr, xi], axis=1)
     kernel = functools.partial(_extract_kernel, n_out=n_out, n_dma=n_dma, k=k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
@@ -109,7 +101,7 @@ def _extract_pallas(xr, xi, q, r, *, n_out: int, n_dma: int, interpret: bool):
             jax.ShapeDtypeStruct((b, k, 1, n_out), jnp.float32),
         ],
         interpret=interpret,
-    )(q, r, xr, xi)
+    )(q, r, x2)
     return outr[:, :, 0, :], outi[:, :, 0, :]
 
 
