@@ -107,7 +107,13 @@ def _run_native_io(args, cfg, rng, collector) -> int:
     gap = 600
     payloads = rng.integers(0, 256, (args.packets, args.payload_len), dtype=np.uint8)
     frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+    chunk = max(4096, 2 * f)
+    # pad the stream to a whole number of chunks: NativeChunkSource.chunks()
+    # stops at EOF once less than one chunk remains, and the last frame ends
+    # only gap+256 samples before stream end — a sub-chunk residue would
+    # silently drop it
     t = args.packets * (f + gap) + 512
+    t = -(-t // chunk) * chunk
     x = np.zeros(t, dtype=np.complex64)
     for i in range(args.packets):
         off = 256 + i * (f + gap)
@@ -119,7 +125,6 @@ def _run_native_io(args, cfg, rng, collector) -> int:
         np.complex64
     )
 
-    chunk = max(4096, 2 * f)
     rx = StreamingRx(cfg, batch=1, chunk_len=chunk)
     src = NativeChunkSource(x, chunk_len=chunk, overlap=0)
     want = {bytes(p) for p in payloads}

@@ -39,7 +39,7 @@ NBT = 128  # signal blocks (of L lags each) per grid step
 
 
 @functools.lru_cache(maxsize=None)
-def _toeplitz_mats(key: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _toeplitz_mats(key: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Block-Toeplitz template matrices for the matmul correlator.
 
     For block length L (= template length) and lag o within a block, the
@@ -71,11 +71,13 @@ def _toeplitz_mats(key: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-_TEMPLATE_CACHE: dict[int, np.ndarray] = {}
+_TEMPLATE_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _template_key(templates: np.ndarray) -> int:
-    key = hash(templates.tobytes())
+def _template_key(templates: np.ndarray) -> tuple:
+    # keyed on raw bytes + shape + dtype (not a lossy int hash): a hash
+    # collision between different template sets must not alias cache entries
+    key = (templates.tobytes(), templates.shape, str(templates.dtype))
     _TEMPLATE_CACHE[key] = templates
     return key
 

@@ -144,9 +144,14 @@ def detect(
 ) -> Detections:
     """Find up to ``max_frames`` preamble hits in [B, T] samples.
 
-    Static output shapes; invalid slots are masked. ``min_spacing`` is the
-    local-max suppression radius (a frame start suppresses weaker hits within
-    +/- min_spacing samples). ``backend``: "auto" uses the fused Pallas
+    Static output shapes; invalid slots are masked. ``min_spacing`` sets the
+    local-max suppression block size; the block-hierarchical formulation
+    below gives an *effective* suppression radius between min_spacing and
+    2*min_spacing samples (a peak must dominate its own block and both
+    neighbors), so two genuine frames must start > 2*min_spacing apart to
+    both be reported. Frames are in practice far longer than that (the
+    shortest frame is ~536 samples vs the default 128). ``backend``:
+    "auto" uses the fused Pallas
     correlator kernel on TPU and the XLA FFT path on CPU
     (kernels/correlator.py). ``fine=False`` skips the fine CFO refinement
     (dphi is then the coarse bin center) — used by the framesync, which

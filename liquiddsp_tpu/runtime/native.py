@@ -238,6 +238,8 @@ class NativeChunkSource:
         self.source = StreamSource(self.ring, samples, rate=rate)
 
     def chunks(self):
+        import time as _time
+
         nbytes = self.chunk_len * self.ITEM
         ob = self.overlap * self.ITEM
         while True:
@@ -247,6 +249,10 @@ class NativeChunkSource:
                 # smaller than one chunk will never complete — stop
                 if self.ring.eof and self.ring.readable < nbytes:
                     return
+                # yield the core instead of busy-spinning while the source
+                # thread fills the ring (rate-throttled streams otherwise
+                # peg a host core for the whole run)
+                _time.sleep(1e-3)
                 continue
             yield raw.view(np.complex64)
 

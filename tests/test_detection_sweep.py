@@ -69,6 +69,44 @@ class TestDetectionSweep:
             hits, _ = run_trials(8, 15, frac_delay=frac, seed=int(frac * 100))
             assert hits >= 7, f"frac={frac}: {hits}/8"
 
+    def test_refined_header_decode_dominates_raw(self):
+        """Pins sync_common's claim that decision-directed carrier
+        refinement never loses a header the raw decode would recover
+        (the raw-or-refined fallback was removed on this claim; ADVICE r1
+        asked for a sweep regression guarding it)."""
+        from liquiddsp_tpu.phy.frame_spec import FrameSpec
+        from liquiddsp_tpu.phy.framesync import sync_common
+
+        n_syms = FrameSpec(CFG).frame_syms
+        rng = np.random.default_rng(321)
+        n = 10
+        payloads = rng.integers(0, 256, (n, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), CFG))
+        f = frames.shape[1]
+        for snr_db in (4.0, 6.0, 8.0, 12.0):
+            x = np.zeros((n, f + 1024), dtype=np.complex64)
+            offs = rng.integers(100, 900, size=n)
+            for i in range(n):
+                x[i, offs[i] : offs[i] + f] = frames[i]
+            tt = np.arange(x.shape[1])
+            x = x * np.exp(1j * 0.004 * tt)[None, :]
+            sigma = np.sqrt(np.mean(np.abs(frames) ** 2) / (2 * 10 ** (snr_db / 10)))
+            x = (
+                x
+                + sigma
+                * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+            ).astype(np.complex64)
+            counts = {}
+            for refine in (False, True):
+                det, _, (hv, *_rest) = sync_common(
+                    jnp.asarray(x), n_syms, 2, refine=refine
+                )
+                counts[refine] = int(np.sum(np.asarray(hv & det.mask)))
+            assert counts[True] >= counts[False], (
+                f"refined header decode lost frames at {snr_db} dB: "
+                f"{counts[True]} < {counts[False]}"
+            )
+
     def test_tau_estimate_tracks_fractional_delay(self):
         rng = np.random.default_rng(9)
         payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
