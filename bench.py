@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Benchmark: aggregate RX throughput (samples/s/chip) on real TPU hardware.
 
-Measures the full framesync path (detection + candidate extraction + header
-decode + payload decode) over a 64-channel stream filled with QPSK
-flexframes at ~20 dB SNR — BASELINE configs 1+3 rolled into the headline
-metric "RX samples/s/chip".
+Two configs are timed through the full framesync path (detection + candidate
+extraction + header decode + payload decode) over a 64-channel stream:
+
+- "nofec": QPSK, no FEC, ~20 dB SNR — BASELINE configs 1+3 rolled into the
+  headline metric "RX samples/s/chip".
+- "fec": QPSK + V27 (K=7 conv, soft Viterbi) + Golay(24,12), ~10 dB SNR —
+  the full decode chain the reference drives at lib/flex_rx_impl.cc:213
+  (deinterleave -> Viterbi -> Golay -> CRC), exercising the Pallas Viterbi
+  kernel (kernels/viterbi.py) inside the timed region.
 
 Baseline: the north-star target is >= 1 Gsample/s aggregate on a v5e-16
 (BASELINE.md), i.e. 62.5 Msample/s/chip; vs_baseline = value / 62.5e6.
@@ -15,7 +20,9 @@ flaky (init hangs / spurious UNIMPLEMENTED on transfers). The whole pipeline
 jit; only int/float scalars cross to the host. A canary with
 clear_backends-based retries guards session startup.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"},
+where value/vs_baseline are the no-FEC headline and extra.configs carries
+the full per-config results (including the FEC path).
 """
 
 import json
@@ -35,7 +42,6 @@ PER_CHIP_BASELINE = 62.5e6  # 1 Gsample/s / 16 chips (BASELINE.md)
 
 BATCH = 64  # channels
 BLOCK = 1 << 16  # samples per channel per step
-SNR_DB = 20.0
 ITERS = 10
 
 
@@ -84,13 +90,13 @@ def _ensure_backend():
     raise RuntimeError("TPU backend unavailable")
 
 
-def main():
-    jax, jnp = _ensure_backend()
-    from liquiddsp_tpu.core.config import FrameConfig
+def bench_config(jax, jnp, cfg, snr_db, require_all=True):
+    """Time framesync_fixed over a BATCH x BLOCK stream of ``cfg`` frames at
+    ``snr_db``; returns the per-config result dict. Asserts bit-exactness of
+    every decoded payload against its channel's TX payload."""
     from liquiddsp_tpu.phy import framegen
     from liquiddsp_tpu.phy.framesync import framesync_fixed
 
-    cfg = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
     f = framegen.frame_length(cfg)
     gap = int(0.8 * f)
     period = 37 + f + gap  # [lead-in | frame | gap] tile
@@ -116,7 +122,7 @@ def main():
         reps = -(-BLOCK // pattern.shape[1])
         x = jnp.tile(pattern, (1, reps))[:, :BLOCK]
         p_sig = jnp.mean(jnp.abs(frames) ** 2)
-        sigma = jnp.sqrt(p_sig / (2 * 10 ** (SNR_DB / 10)))
+        sigma = jnp.sqrt(p_sig / (2 * 10 ** (snr_db / 10)))
         noise = sigma * (
             jax.random.normal(kn, (BATCH, BLOCK))
             + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (BATCH, BLOCK))
@@ -143,8 +149,11 @@ def main():
     key = jax.random.PRNGKey(0)
     n_ok, n_exact = pipeline(key)
     n_ok = int(n_ok)
+    expected = len(starts) * BATCH
     assert n_ok > 0, "bench stream produced no decoded frames"
     assert int(n_exact) == n_ok, "decoded payloads not bit-exact"
+    if require_all:
+        assert n_ok == expected, f"decoded {n_ok}/{expected} frames"
 
     # time the RX alone on a fixed on-device stream
     x, _ = jax.jit(synthesize)(key)
@@ -165,19 +174,57 @@ def main():
 
     samples = BATCH * BLOCK * ITERS
     rate = samples / dt
-    frames_per_s = n_ok * ITERS / dt
+    return {
+        "config": {
+            "modulation": cfg.modulation,
+            "inner_code": cfg.inner_code,
+            "outer_code": cfg.outer_code,
+            "payload_len": cfg.payload_len,
+        },
+        "snr_db": snr_db,
+        "samples_per_sec_per_chip": rate,
+        "vs_baseline": rate / PER_CHIP_BASELINE,
+        "frames_per_sec": n_ok * ITERS / dt,
+        "decoded_frames_per_block": n_ok,
+        "expected_frames_per_block": expected,
+    }
+
+
+def main():
+    jax, jnp = _ensure_backend()
+    from liquiddsp_tpu.core.config import FrameConfig
+
+    results = {
+        "nofec": bench_config(
+            jax, jnp, FrameConfig(modulation=1, inner_code=0, outer_code=0,
+                                  payload_len=64), snr_db=20.0
+        ),
+        # full decode chain: deinterleave -> soft Viterbi (Pallas) -> Golay
+        # -> CRC24, at an SNR where the FEC is doing real work
+        "fec": bench_config(
+            jax, jnp, FrameConfig(modulation=1, inner_code=1, outer_code=1,
+                                  payload_len=64), snr_db=10.0
+        ),
+    }
+
+    head = results["nofec"]
     print(
         json.dumps(
             {
                 "metric": "rx_samples_per_sec_per_chip",
-                "value": rate,
+                "value": head["samples_per_sec_per_chip"],
                 "unit": "samples/s",
-                "vs_baseline": rate / PER_CHIP_BASELINE,
+                "vs_baseline": head["vs_baseline"],
                 "extra": {
-                    "frames_per_sec": frames_per_s,
-                    "decoded_frames_per_block": n_ok,
-                    "expected_frames_per_block": len(starts) * BATCH,
-                    "snr_db": SNR_DB,
+                    "frames_per_sec": head["frames_per_sec"],
+                    "decoded_frames_per_block": head["decoded_frames_per_block"],
+                    "expected_frames_per_block": head["expected_frames_per_block"],
+                    "snr_db": head["snr_db"],
+                    "fec_samples_per_sec_per_chip": results["fec"][
+                        "samples_per_sec_per_chip"
+                    ],
+                    "fec_vs_baseline": results["fec"]["vs_baseline"],
+                    "configs": results,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -120,6 +120,24 @@ def is_differential(mod: int) -> bool:
     return mod in (Modulation.DPSK2, Modulation.DPSK4, Modulation.DPSK8)
 
 
+def rotational_symmetry(mod: int) -> float:
+    """Smallest rotation (radians) mapping the constellation onto itself.
+
+    A decision-directed phase estimate is only observable modulo this angle
+    (a slip by it relabels every symbol consistently); carrier trackers must
+    unwrap across observations with steps below half of it.
+    """
+    mod = int(mod)
+    if mod in (Modulation.PSK2, Modulation.DPSK2, Modulation.ASK4):
+        return float(np.pi)
+    if mod == Modulation.PSK8 or mod == Modulation.DPSK8:
+        return float(np.pi / 4)
+    if mod == Modulation.PSK16:
+        return float(np.pi / 8)
+    # PSK4/DPSK4 and the square/cross QAMs are fourfold symmetric
+    return float(np.pi / 2)
+
+
 # ---------------------------------------------------------------------------
 # bit <-> symbol-index packing (MSB-first)
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ def sharded_framesync(
             symbols=P(CH_AXIS, TIME_AXIS, None),
             evm=P(CH_AXIS, TIME_AXIS),
             rssi=P(CH_AXIS, TIME_AXIS),
+            cfo=P(CH_AXIS, TIME_AXIS),
             start=P(CH_AXIS, TIME_AXIS),
         ),
         check_vma=False,

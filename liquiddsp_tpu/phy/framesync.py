@@ -69,6 +69,7 @@ class FrameResults:
     symbols: jax.Array  # [B, K, n_syms] complex64 — the constellation port
     evm: jax.Array  # [B, K] float32 — header-symbol EVM (dB)
     rssi: jax.Array  # [B, K] float32 — estimated gain (dB)
+    cfo: jax.Array  # [B, K] float32 — carrier offset estimate (rad/sample)
     start: jax.Array  # [B, K] int32 — frame start sample
 
 
@@ -154,9 +155,14 @@ def symbols_from_windows(
 
     half = (fs.PULSE_LEN + 1) // 2  # 15 taps per polyphase arm
     if timing_bank:
+        # detector tau is "signal arrives tau samples late"; sampling at the
+        # fixed even decimation grid must then be *advanced* by tau, which
+        # this bank's delay-indexed rows express as row -tau (verified to
+        # -50 dB EVM against injected fractional delays; the +tau indexing
+        # shipped in round 1 actively degraded EVM vs no correction)
         p_half = NUM_TIMING_PHASES // 2
         q = jnp.clip(
-            jnp.round(det.tau * NUM_TIMING_PHASES).astype(jnp.int32), -p_half, p_half
+            jnp.round(-det.tau * NUM_TIMING_PHASES).astype(jnp.int32), -p_half, p_half
         ) + p_half
         taps30 = jnp.asarray(_timing_bank30())[q]  # [B, K, 30]
     else:
@@ -189,24 +195,58 @@ def decode_header(hdr_syms: jax.Array):
     return valid, user, plen, mod, inner, outer
 
 
-def _refine_carrier(syms: jax.Array, hdr_syms_ref: jax.Array) -> jax.Array:
-    """Decision-directed residual carrier correction using header symbols.
+def _refine_carrier(syms: jax.Array) -> jax.Array:
+    """Decision-free residual carrier correction from preamble + header.
 
-    Estimates residual phase + frequency from the known-modulus header
-    region and derotates the whole symbol stream. syms: [..., n_syms];
-    hdr_syms_ref: decided header symbols [..., 180].
+    Previous design decided the header symbols first and measured the
+    residual against those decisions — which folds (and biases toward
+    zero) once the extrapolated phase error nears a decision boundary,
+    exactly when correction matters most (observed as FEC-proof burst
+    errors at 10 dB on long frames). Instead:
+
+    - the *known* preamble (m-sequence QPSK, phy/frame_spec.py) gives an
+      exact, ambiguity-free phase anchor phi_a at the preamble center;
+    - the header (always QPSK, unknown bits) gives a Viterbi&Viterbi
+      4th-power anchor: u = sum (r/|r|)^4 |r| has angle 4*phi + psi with
+      no decision fold; its two half-sums also give a fold-free frequency
+      estimate used only to *predict* the header-center phase well enough
+      (<< 45 deg over the 122-symbol gap) to resolve the mod-(pi/2)
+      branch of the anchor;
+    - the final model is the two-point fit through (phi_a, phi_b): exact
+      absolute phase, frequency from the longest clean baseline.
+
+    Derotates the whole symbol stream; payload residuals are handled by
+    _dd_phase_track's own V&V linear stage.
     """
+    from liquiddsp_tpu.ops import msequence
+
     h0 = fs.PREAMBLE_SYMS
     h1 = h0 + fs.HEADER_SYMS
-    rx_hdr = syms[..., h0:h1]
-    err = rx_hdr * jnp.conj(hdr_syms_ref)
+    pre_ref = jnp.asarray(msequence.preamble_symbols())
+
+    q = syms[..., :h0] * jnp.conj(pre_ref)
+    q1 = jnp.sum(q[..., : h0 // 2], axis=-1)
+    q2 = jnp.sum(q[..., h0 // 2 :], axis=-1)
+    phi_a = jnp.angle(q1 + q2)  # exact phase @ preamble center
+    n_a = (h0 - 1) / 2.0
+
+    r_h = syms[..., h0:h1]
+    u = (r_h / jnp.maximum(jnp.abs(r_h), 1e-12)) ** 4 * jnp.abs(r_h)
     half = fs.HEADER_SYMS // 2
-    p1 = jnp.sum(err[..., :half], axis=-1)
-    p2 = jnp.sum(err[..., half:], axis=-1)
-    dphi_sym = jnp.angle(p2 * jnp.conj(p1)) / half  # rad/symbol residual
-    phi0 = jnp.angle(p1 + p2)
-    n = jnp.arange(syms.shape[-1], dtype=jnp.float32) - (h0 + fs.HEADER_SYMS / 2 - 0.5)
-    corr = jnp.exp(-1j * (phi0[..., None] + dphi_sym[..., None] * n))
+    u1 = jnp.sum(u[..., :half], axis=-1)
+    u2 = jnp.sum(u[..., half:], axis=-1)
+    slope_h = jnp.angle(u2 * jnp.conj(u1)) / (4.0 * half)  # rad/sym, fold-free
+    # psi: 4th-moment phase of the header constellation (pi for this QPSK)
+    tab = modem.constellation(fs.HEADER_MOD)
+    psi = float(np.angle(np.mean((tab / np.abs(tab)) ** 4 * np.abs(tab))))
+    n_b = h0 + (fs.HEADER_SYMS - 1) / 2.0
+    phi_b = jnp.angle((u1 + u2) * np.exp(-1j * psi)) / 4.0  # mod pi/2
+    pred = phi_a + slope_h * (n_b - n_a)
+    phi_b = phi_b + (jnp.pi / 2.0) * jnp.round((pred - phi_b) / (jnp.pi / 2.0))
+
+    dphi = (phi_b - phi_a) / (n_b - n_a)
+    n = jnp.arange(syms.shape[-1], dtype=jnp.float32)
+    corr = jnp.exp(-1j * (phi_b[..., None] + dphi[..., None] * (n - n_b)))
     return syms * corr
 
 
@@ -224,14 +264,19 @@ def sync_common(
     timing_bank: bool = True,
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
-    [B, K, n_syms], header fields). ``n_syms`` is the static symbol-buffer
-    size (the longest frame the caller expects).
+    [B, K, n_syms], header fields, header EVM). ``n_syms`` is the static
+    symbol-buffer size (the longest frame the caller expects).
 
     One window extraction serves both the fine CFO estimate (from the
     preamble prefix of each frame window) and symbol recovery; the header
     is demod/decoded once, after decision-directed carrier refinement
     (the refined decode strictly dominates the raw one at any SNR where
-    either works — measured across the detection sweep suite).
+    either works — pinned by tests/test_detection_sweep.py).
+
+    The returned ``evm_lin`` [B, K] is the post-refinement header-symbol
+    error-vector power — the framesyncstats_s EVM analog
+    (lib/flex_rx_impl.cc:198) and the per-frame noise-variance estimate
+    the payload soft demod consumes.
     """
     from liquiddsp_tpu.kernels.extract import extract_windows
     from liquiddsp_tpu.phy.detector import TEMPLATE_LEN, fine_cfo
@@ -246,12 +291,15 @@ def sync_common(
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     if refine:
-        hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
-        hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
-        syms = _refine_carrier(syms, hdr_ref)
+        syms = _refine_carrier(syms)
     hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
 
-    return det, syms, (hdr_valid, user, plen, mod, inner, outer)
+    # header EVM from the refined symbols' own hard decisions
+    hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
+    hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
+    evm_lin = jnp.mean(jnp.abs(syms[..., h0:h1] - hdr_ref) ** 2, axis=-1)
+
+    return det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin
 
 
 def _dd_phase_track(pay: jax.Array, mod: int, seg: int = 64, iters: int = 2) -> jax.Array:
@@ -264,38 +312,117 @@ def _dd_phase_track(pay: jax.Array, mod: int, seg: int = 64, iters: int = 2) -> 
     carrier with a per-symbol PLL through the whole frame (SURVEY.md
     section 2.2 AGC/NCO/symbol-sync row); a sequential PLL is a poor TPU
     shape, so this applies the block-dense equivalent: split the payload
-    into ``seg``-symbol segments, estimate each segment's residual phase
-    from its own hard decisions (sum of r*conj(decision)), derotate, and
-    iterate. Differential schemes are returned unchanged (immune to slow
-    phase drift by construction).
+    into ``seg``-symbol segments and estimate each segment's residual phase
+    from its own hard decisions (sum of r*conj(decision)).
+
+    A DD estimate is only observable modulo the constellation's rotational
+    symmetry 2*pi/m, and is *biased toward zero* near the decision
+    boundaries (the S-curve folds): once the extrapolated phase error
+    approaches half the symmetry angle, decision-directed corrections lock
+    to the wrong rotation (a cycle slip relabeling every later symbol —
+    burst errors no FEC survives). When slips are plausible, a
+    decision-free first pass runs: per segment, the Viterbi&Viterbi
+    m-th-power statistic u_i = sum (r/|r|)^m |r| has angle m*theta_i +
+    psi_m + modulation self-noise (psi_m the constellation's m-th-moment
+    phase, a compile-time constant), with no fold and no bias. A linear
+    trajectory (residual CFO + offset) is fit through the u_i — slope from
+    the average adjacent-segment increment (psi_m cancels), intercept from
+    the detrended sum — and applied as a per-symbol ramp. Valid while the
+    drift per segment stays under pi/m, far above any CFO error the
+    decision-free _refine_carrier lets through. The corrected residual is
+    then small enough for plain per-segment DD cleanup passes (unbiased
+    away from boundaries).
+
+    The V&V stage is gated at compile time on actual slip risk: the worst
+    plausible post-refine drift over this payload must reach an
+    appreciable fraction of the symmetry angle. QAM/ASK constellations
+    (m-th moment < 1) additionally require enough segments to average the
+    estimator's modulation self-noise; a short dense-QAM payload can
+    neither slip nor tolerate V&V noise, so it takes the pure DD path.
+    Differential schemes are returned unchanged (immune by construction).
     """
     if modem.is_differential(mod):
         return pay
+    sym_rot = modem.rotational_symmetry(mod)
+    m = int(round(2 * np.pi / sym_rot))
+    table_np = modem.constellation(mod)
+    unit = table_np / np.maximum(np.abs(table_np), 1e-12)
+    moment = np.mean(unit**m * np.abs(table_np))
+    psi = float(np.angle(moment))
     n = pay.shape[-1]
     nseg = -(-n // seg)
     pad = nseg * seg - n
-    for _ in range(iters):
-        p = jnp.pad(pay, [(0, 0)] * (pay.ndim - 1) + [(0, pad)])
-        p = p.reshape(pay.shape[:-1] + (nseg, seg))
+    table = jnp.asarray(table_np)
+    lead_shape = [(0, 0)] * (pay.ndim - 1)
+
+    # slip risk: 5-sigma residual slope after the decision-free refine
+    # (~2.7e-4 rad/sym sigma at the lowest workable SNR) over the payload
+    drift_5sigma = 1.4e-3 * n
+    use_vv = (
+        nseg >= 2
+        and drift_5sigma > sym_rot / 8
+        and (abs(moment) > 0.9 or nseg >= 6)
+    )
+
+    p = jnp.pad(pay, lead_shape + [(0, pad)])
+    p = p.reshape(pay.shape[:-1] + (nseg, seg))
+
+    if use_vv:
+        # pass 1: decision-free V&V linear fit (a + slope*i), per-symbol ramp
+        r_unit = p / jnp.maximum(jnp.abs(p), 1e-12)
+        u = jnp.sum(r_unit**m * jnp.abs(p), axis=-1)  # [..., nseg]
+        slope = (
+            jnp.angle(jnp.sum(u[..., 1:] * jnp.conj(u[..., :-1]), axis=-1)) / m
+        )  # rad per segment
+        slope = jnp.clip(slope, -sym_rot / 4, sym_rot / 4)  # unwrap validity
+        detrend = jnp.exp(-1j * m * slope[..., None] * jnp.arange(nseg))
+        a = (jnp.angle(jnp.sum(u * detrend, axis=-1) * np.exp(-1j * psi))) / m
+        t_idx = jnp.arange(nseg * seg, dtype=jnp.float32)
+        phi = a[..., None] + (slope[..., None] / seg) * (t_idx - (seg - 1) / 2.0)
+        flat = p.reshape(pay.shape[:-1] + (nseg * seg,)) * jnp.exp(-1j * phi)
+        n_dd = max(iters - 1, 1)
+    else:
+        flat = p.reshape(pay.shape[:-1] + (nseg * seg,))
+        n_dd = iters
+
+    # remaining passes: independent per-segment DD correction (residual
+    # now well inside the decision regions)
+    for _ in range(n_dd):
+        p = flat.reshape(pay.shape[:-1] + (nseg, seg))
         idx = modem.demod_hard(p, mod)
-        ref = jnp.asarray(modem.constellation(mod))[idx]
-        e = jnp.sum(p * jnp.conj(ref), axis=-1)  # [..., nseg]
+        e = jnp.sum(p * jnp.conj(table[idx]), axis=-1)  # [..., nseg]
         rot = jnp.exp(-1j * jnp.angle(e))[..., None]
-        p = (p * rot).reshape(pay.shape[:-1] + (nseg * seg,))
-        pay = p[..., :n]
-    return pay
+        flat = (p * rot).reshape(pay.shape[:-1] + (nseg * seg,))
+    return flat[..., :n]
 
 
-def decode_payload_symbols(syms: jax.Array, cfg: FrameConfig, track: bool = True):
+def decode_payload_symbols(
+    syms: jax.Array,
+    cfg: FrameConfig,
+    track: bool = True,
+    noise_var: jax.Array | float | None = None,
+):
     """Static-config payload back-end: symbols [.., n_syms >= frame_syms] ->
-    (payload bytes [..., payload_len], crc_ok bool[...])."""
+    (payload bytes [..., payload_len], crc_ok bool[...]).
+
+    ``noise_var``: per-frame noise-variance estimate for LLR scaling —
+    typically the header EVM from sync_common (framesyncstats EVM analog,
+    lib/flex_rx_impl.cc:198); scalar or [...] matching syms' leading dims.
+    The max-log Viterbi path metric is invariant to a uniform LLR scale, so
+    this only matters for future soft-combining consumers, but the estimate
+    is the principled one (the old constant 0.1 was a tuning point).
+    """
     spec = fs.FrameSpec(cfg)
     h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     pay = syms[..., h1 : h1 + spec.payload_syms]
     if track:
         pay = _dd_phase_track(pay, cfg.modulation)
-    noise_var = 0.1
-    llr = modem.demod_soft_bits(pay, cfg.modulation, noise_var)
+    if noise_var is None:
+        noise_var = 0.1
+    nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-4)
+    if nv.ndim:
+        nv = nv[..., None]  # broadcast over the bit axis
+    llr = modem.demod_soft_bits(pay, cfg.modulation, nv)
     llr = llr[..., : spec.inner_bits]  # drop modulation pad bits
     inv = jnp.asarray(fs.interleave_inv(spec.inner_bits))
     llr = llr[..., inv]
@@ -320,20 +447,15 @@ def framesync_fixed(
     carry — runtime/stream.py).
     """
     spec = fs.FrameSpec(cfg)
-    det, syms, (hdr_valid, user, plen, mod, inner, outer) = sync_common(
+    det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync_common(
         x, spec.frame_syms, max_frames, threshold, refine, timing_bank
     )
-    h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
 
-    # payload: static config path
-    payload, crc_ok = decode_payload_symbols(syms, cfg)
+    # payload: static config path, LLRs scaled by the per-frame EVM-derived
+    # noise variance (framesyncstats analog; lib/flex_rx_impl.cc:198)
+    payload, crc_ok = decode_payload_symbols(syms, cfg, noise_var=evm_lin)
     pay_valid = crc_ok & hdr_valid
 
-    # header EVM (dB) and RSSI (dB) — framesyncstats_s analog
-    # (lib/flex_rx_impl.cc:198, 218)
-    hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
-    hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
-    evm_lin = jnp.mean(jnp.abs(syms[..., h0:h1] - hdr_ref) ** 2, axis=-1)
     evm = 10.0 * jnp.log10(jnp.maximum(evm_lin, 1e-12))
     rssi = 20.0 * jnp.log10(jnp.maximum(det.gamma, 1e-12))
 
@@ -357,5 +479,6 @@ def framesync_fixed(
         symbols=syms,
         evm=evm,
         rssi=rssi,
+        cfo=det.dphi,
         start=det.start,
     )

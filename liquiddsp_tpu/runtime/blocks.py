@@ -54,7 +54,9 @@ def _tx_program(modulation: int, inner: int, outer: int, payload_len: int):
 @functools.lru_cache(maxsize=None)
 def _payload_program(modulation: int, inner: int, outer: int, payload_len: int):
     cfg = FrameConfig(modulation, inner, outer, payload_len)
-    return jax.jit(lambda syms: phy_framesync.decode_payload_symbols(syms, cfg))
+    return jax.jit(
+        lambda syms, nv: phy_framesync.decode_payload_symbols(syms, cfg, noise_var=nv)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -158,13 +160,17 @@ class FlexRx:
         203-253). Returns the list of packet_info dicts."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
-        det, syms, (hdr_valid, user, plen, mod, inner, outer) = sync(x)
+        det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync(x)
         mask = np.asarray(det.mask)
         hdr_valid = np.asarray(hdr_valid)
         plen_h = np.asarray(plen)
         mod_h = np.asarray(mod)
         inner_h = np.asarray(inner)
         outer_h = np.asarray(outer)
+        evm_h = np.asarray(evm_lin)
+        rssi_h = 20.0 * np.log10(np.maximum(np.asarray(det.gamma), 1e-12))
+        cfo_h = np.asarray(det.dphi)
+        start_h = np.asarray(det.start)
         infos: list[dict] = []
         for b, k in zip(*np.nonzero(mask)):
             # constellation published regardless of validity (cc:217-221)
@@ -182,10 +188,12 @@ class FlexRx:
             ):
                 continue
             decode = _payload_program(m, i, o, pl)
-            payload, crc_ok = decode(syms[b, k])
+            payload, crc_ok = decode(syms[b, k], evm_lin[b, k])
             payload_valid = bool(crc_ok)
             if payload_valid:
                 self.bus.publish("payload_data", PDU(meta={}, data=payload))
+            # framesyncstats_s parity: EVM/RSSI/CFO alongside the config
+            # fields (lib/flex_rx_impl.cc:198, 236-247)
             info = {
                 "header_valid": 1,
                 "payload_valid": int(payload_valid),
@@ -194,7 +202,10 @@ class FlexRx:
                 "outer_code": o,
                 "payload_len": pl,
                 "payload": payload,
-                "start": int(np.asarray(det.start)[b, k]),
+                "evm": float(10.0 * np.log10(max(evm_h[b, k], 1e-12))),
+                "rssi": float(rssi_h[b, k]),
+                "cfo": float(cfo_h[b, k]),
+                "start": int(start_h[b, k]),
                 "batch": int(b),
             }
             self.bus.publish("packet_info", info)

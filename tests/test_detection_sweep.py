@@ -1,6 +1,7 @@
 """BASELINE config 2: frame-detection sweep over AWGN with CFO/timing
-offsets — statistical bounds, small N for CPU CI (the full sweep runs in
-bench/ on TPU)."""
+offsets — statistical bounds, small N for CPU CI. The full FER/detection
+characterization sweep is bench/fer_sweep.py (artifact bench/FER_SWEEP.json);
+its small-N test twin is tests/test_fer_sweep.py."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -98,7 +99,7 @@ class TestDetectionSweep:
             ).astype(np.complex64)
             counts = {}
             for refine in (False, True):
-                det, _, (hv, *_rest) = sync_common(
+                det, _, (hv, *_rest), _evm = sync_common(
                     jnp.asarray(x), n_syms, 2, refine=refine
                 )
                 counts[refine] = int(np.sum(np.asarray(hv & det.mask)))

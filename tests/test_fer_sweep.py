@@ -1,0 +1,41 @@
+"""Payload FER-vs-SNR statistical bounds (BASELINE configs 1-2 contract).
+
+Small-N CPU version of bench/fer_sweep.py (the full sweep artifact is
+bench/FER_SWEEP.json, generated on TPU). Asserts the waterfall shape: FER
+monotone non-increasing in SNR (with slack for small N), zero at high SNR,
+and a coding gain for the FEC config at low SNR.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bench.fer_sweep import run_point
+from liquiddsp_tpu.core.config import FrameConfig
+
+TRIALS = 16
+
+
+def fer_at(cfg, snr_db, seed=0):
+    det, hdr, ok = run_point(jax, jnp, cfg, snr_db, TRIALS, seed=seed)
+    return 1.0 - ok / TRIALS
+
+
+class TestFERSweep:
+    def test_fec_waterfall_monotone_and_floor(self):
+        cfg = FrameConfig(1, 1, 1, 64)  # QPSK + V27 + Golay
+        fers = [fer_at(cfg, snr, seed=3) for snr in (2.5, 7.5, 15.0)]
+        # small-N slack: allow one trial of non-monotonicity
+        assert fers[0] + 1.0 / TRIALS >= fers[1] >= fers[2] - 1.0 / TRIALS
+        assert fers[2] == 0.0, f"FEC config has FER {fers[2]} at 15 dB"
+        assert fers[1] == 0.0, f"FEC config has FER {fers[1]} at 7.5 dB"
+
+    def test_uncoded_clean_at_high_snr(self):
+        cfg = FrameConfig(1, 0, 0, 64)  # QPSK uncoded
+        assert fer_at(cfg, 20.0, seed=5) == 0.0
+
+    def test_coding_gain_at_low_snr(self):
+        snr = 5.0
+        coded = fer_at(FrameConfig(1, 1, 1, 64), snr, seed=7)
+        uncoded = fer_at(FrameConfig(1, 0, 0, 64), snr, seed=7)
+        assert coded <= uncoded, f"no coding gain: coded {coded} vs uncoded {uncoded}"

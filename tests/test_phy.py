@@ -178,6 +178,37 @@ class TestLoopback:
         assert got == {bytes(p1[0]), bytes(p2[0])}
 
 
+class TestCarrierTrackingRobustness:
+    def test_fec_frames_at_10db_no_cycle_slips(self):
+        """The bench FEC config (QPSK + V27 + Golay) at 10 dB: residual-CFO
+        estimation error used to walk the extrapolated carrier past the
+        QPSK decision boundary mid-payload — a cycle slip relabeling every
+        later symbol, which no FEC survives. Fixed by the decision-free
+        V&V refine (_refine_carrier) + linear-fit tracker (_dd_phase_track);
+        regression: every non-straddling frame must decode bit-exactly."""
+        cfg = FrameConfig(modulation=1, inner_code=1, outer_code=1, payload_len=64)
+        rng = np.random.default_rng(42)
+        batch, total = 6, 1 << 14
+        f = framegen.frame_length(cfg)
+        payloads = rng.integers(0, 256, (batch, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+        gap = int(0.8 * f)
+        starts = [37 + i * (37 + f + gap) for i in range(8) if 37 + i * (37 + f + gap) + f <= total]
+        x = np.zeros((batch, total), dtype=np.complex64)
+        for s in starts:
+            x[:, s : s + f] = frames
+        sigma = np.sqrt(np.mean(np.abs(frames) ** 2) / (2 * 10 ** (10.0 / 10)))
+        x = (
+            x + sigma * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+        ).astype(np.complex64)
+        res = framesync_fixed(jnp.asarray(x), cfg, max_frames=len(starts) + 2)
+        pv = np.asarray(res.payload_valid)
+        ok = int(pv.sum())
+        assert ok == batch * len(starts), f"{ok}/{batch * len(starts)} frames decoded"
+        match = (np.asarray(res.payload) == payloads[:, None, :]).all(-1) & pv
+        assert int(match.sum()) == ok, "decoded payloads not bit-exact"
+
+
 class TestPayloadPhaseTracking:
     def test_long_frame_survives_cfo(self):
         """Long low-rate frames accumulate residual-CFO phase drift beyond
