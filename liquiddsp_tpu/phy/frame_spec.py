@@ -124,7 +124,22 @@ class FrameSpec:
         return PREAMBLE_SYMS + HEADER_SYMS
 
 
+@functools.lru_cache(maxsize=None)
 def max_frame_spec(payload_len: int) -> FrameSpec:
-    """The longest frame over all 616 configs at this payload length:
-    PSK2 + V27 (rate 1/2) + Golay (rate 1/2). Used to size RX buffers."""
-    return FrameSpec(FrameConfig(modulation=0, inner_code=1, outer_code=1, payload_len=payload_len))
+    """The longest frame over all 616 configs at this payload length.
+    Used to size RX buffers.
+
+    Computed, not assumed: the worst outer code is payload-dependent —
+    Golay (rate 1/2) for long payloads, but RS's fixed 32 parity bytes
+    dominate below ~30-byte payloads. Modulation is 1 bit/sym (PSK2) and
+    the worst inner is V27 (rate 1/2) in every case, but the cached scan
+    over all 56 (inner, outer) pairs costs nothing."""
+    worst = max(
+        (
+            FrameSpec(FrameConfig(0, i, o, payload_len))
+            for i in range(7)
+            for o in range(8)
+        ),
+        key=lambda s: s.frame_syms,
+    )
+    return worst
