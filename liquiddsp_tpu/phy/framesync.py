@@ -104,6 +104,147 @@ def _timing_bank30() -> np.ndarray:
     return out
 
 
+SFO_SEG = 64  # symbols per timing-tracking segment
+SFO_AUTO_SYMS = 2200  # auto-enable tracking for frames longer than this
+
+
+@functools.lru_cache(maxsize=None)
+def _timing_bank65() -> np.ndarray:
+    """Extended fractional-delay bank covering a +-1.0-sample range for
+    symbol-timing (SFO) tracking: row q samples the matched-filter output
+    at nominal + (q - P)/P samples, q in [0, 2P].
+
+    Same construction as _timing_bank30 but with the integer sample shift
+    folded over a 3-position base range, and a global +1 placement so the
+    caller reads the window with a one-sample front pad:
+    y[s] = sum_v winp[2s+v] * bank65[q, v], winp = [0, win...].
+    """
+    p_half = NUM_TIMING_PHASES
+    bank = _timing_bank()  # [P, 29]
+    W = fs.PULSE_LEN + 3  # 32 taps (lane-friendly; last tap always zero)
+    out = np.zeros((2 * p_half + 1, W), dtype=np.float32)
+    for q in range(2 * p_half + 1):
+        p = q - p_half  # sampling offset p/P in [-1, 1]
+        a = int(np.floor(p / p_half))  # integer sample shift {-1, 0, 1}
+        pp = p - a * p_half  # fractional phase in [0, P)
+        base = 1 - a  # {0, 1, 2}
+        out[q, base : base + fs.PULSE_LEN] = bank[pp][::-1]
+    return out
+
+
+def _segment_recover(win_d: jax.Array, q_seg: jax.Array, n_syms: int, seg: int) -> jax.Array:
+    """Per-segment polyphase matched filter + k=2 decimation.
+
+    ``win_d`` [B, K, n_samp] derotated candidate windows; ``q_seg``
+    [B, K, nseg] per-segment rows of _timing_bank65 (the tracked sampling
+    instant). Segment windows are static slices (no gathers); the bank row
+    lookup is the only data-dependent indexing. Returns [B, K, n_syms].
+    """
+    nseg = q_seg.shape[-1]
+    L = 2 * seg + 30
+    need = 2 * seg * (nseg - 1) + L
+    lead = [(0, 0)] * (win_d.ndim - 1)
+    winp = jnp.pad(win_d, lead + [(1, max(0, need - win_d.shape[-1] - 1))])
+    segw = jnp.stack(
+        [winp[..., 2 * seg * s : 2 * seg * s + L] for s in range(nseg)], axis=-2
+    )  # [B, K, nseg, L]
+    taps = jnp.asarray(_timing_bank65())[q_seg]  # [B, K, nseg, 32]
+    we = segw[..., 0::2]
+    wo = segw[..., 1::2]
+    y = jnp.zeros(q_seg.shape + (seg,), dtype=jnp.complex64)
+    for j in range(16):
+        y = y + we[..., j : j + seg] * taps[..., 2 * j, None]
+        y = y + wo[..., j : j + seg] * taps[..., 2 * j + 1, None]
+    return y.reshape(y.shape[:-2] + (nseg * seg,))[..., :n_syms]
+
+
+def _sfo_fit(win_d: jax.Array, tau: jax.Array, nseg: int, seg: int) -> jax.Array:
+    """Estimate the per-segment sampling-instant trajectory u(s) = a + b*s
+    (residual timing offset + sample-clock drift) and return bank65 rows
+    [B, K, nseg].
+
+    Decision-free power metric: the matched-filter output power over a
+    segment peaks at the correct sampling instant (the RRC timing tone,
+    beta=0.3). Five trial offsets spanning +-0.5 sample are evaluated with
+    the same segment-recovery FMA; a per-segment parabolic vertex around
+    the best trial gives u_s, and a contrast-weighted least-squares line
+    over segments smooths it into the (offset, drift) model — the
+    block-dense analog of liquid's PFB timing-recovery loop (SURVEY.md
+    section 2.2 AGC/NCO/symbol-sync row). The fitted drift is clipped to
+    +-100 ppm so a noise-floor fit can never do worse than the static path
+    by more than a bank step or two.
+    """
+    P = NUM_TIMING_PHASES
+    deltas = np.array([-0.5, -0.25, 0.0, 0.25, 0.5], dtype=np.float32)
+    powers = []
+    for d in deltas:
+        q = jnp.clip(jnp.round((-tau + d) * P).astype(jnp.int32), -P, P) + P
+        qs = jnp.broadcast_to(q[..., None], q.shape + (nseg,))
+        y = _segment_recover(win_d, qs, nseg * seg, seg)
+        p = jnp.sum(
+            jnp.abs(y.reshape(y.shape[:-1] + (nseg, seg))) ** 2, axis=-1
+        )  # [B, K, nseg]
+        powers.append(p)
+    M = jnp.stack(powers, axis=-1)  # [B, K, nseg, 5]
+
+    jbest = jnp.clip(jnp.argmax(M, axis=-1), 1, 3)  # interior for the parabola
+    take = lambda off: jnp.take_along_axis(M, (jbest + off)[..., None], axis=-1)[..., 0]
+    m_lo, m_0, m_hi = take(-1), take(0), take(1)
+    denom = m_lo - 2.0 * m_0 + m_hi
+    vert = 0.125 * (m_lo - m_hi) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    vert = jnp.clip(vert, -0.125, 0.125)
+    u_s = -tau[..., None] + deltas[1] + 0.25 * (jbest - 1).astype(jnp.float32) + vert
+
+    # contrast-weighted LS line u(s) = a + b*s over segments
+    w = jnp.maximum(jnp.max(M, axis=-1) - jnp.min(M, axis=-1), 0.0) ** 2
+    s_idx = jnp.arange(nseg, dtype=jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-20)
+    s_bar = jnp.sum(w * s_idx, axis=-1) / wsum
+    u_bar = jnp.sum(w * u_s, axis=-1) / wsum
+    ds = s_idx - s_bar[..., None]
+    var = jnp.maximum(jnp.sum(w * ds**2, axis=-1), 1e-20)
+    b = jnp.sum(w * ds * u_s, axis=-1) / var
+    b = jnp.clip(b, -2e-4 * 2 * seg, 2e-4 * 2 * seg)  # +-100 ppm drift cap
+    a = u_bar - b * s_bar
+    u_fit = a[..., None] + b[..., None] * s_idx
+    return jnp.clip(jnp.round(u_fit * P).astype(jnp.int32), -P, P) + P
+
+
+def _sfo_recover(win: jax.Array, det: Detections, n_syms: int, seg: int = SFO_SEG) -> jax.Array:
+    """Symbol recovery with sample-clock-drift (SFO) tracking: estimate the
+    sampling-instant trajectory across the frame and matched-filter each
+    segment at its own fractional delay. Handles TX/RX clock offsets that
+    walk the symbol grid across long frames (the static per-frame tau of
+    symbols_from_windows drifts off by >0.1 sample beyond ~2500 symbols at
+    50 ppm)."""
+    win_d = _derotate_window(win, det)
+    nseg = -(-n_syms // seg)
+    q_seg = _sfo_fit(win_d, det.tau, nseg, seg)
+    return _segment_recover(win_d, q_seg, n_syms, seg)
+
+
+def _derotate_window(win: jax.Array, det: Detections) -> jax.Array:
+    """NCO derotation + gain normalization of candidate windows [B, K, S].
+
+    The rotation exp(-j(dphi*n+phi)) is built as a coarse x fine outer
+    product — 2 complex multiplies per sample instead of one transcendental
+    (a dense jnp.exp over [B,K,S] was ~10x the arithmetic cost of the
+    rotation itself)."""
+    n_samples = win.shape[-1]
+    fine_n = 32
+    n_coarse = -(-n_samples // fine_n)
+    nf = jnp.arange(fine_n, dtype=jnp.float32)
+    ncs = jnp.arange(n_coarse, dtype=jnp.float32) * fine_n
+    e_fine = jnp.exp(-1j * det.dphi[..., None] * nf)  # [B, K, fine]
+    e_coarse = jnp.exp(
+        -1j * (det.dphi[..., None] * ncs + det.phi[..., None])
+    )  # [B, K, coarse]
+    nco = (e_coarse[..., :, None] * e_fine[..., None, :]).reshape(
+        det.start.shape + (n_coarse * fine_n,)
+    )[..., :n_samples]
+    return win * nco / jnp.maximum(det.gamma[..., None], 1e-9)
+
+
 def extract_symbols(
     x: jax.Array, det: Detections, n_syms: int, timing_bank: bool = True
 ) -> jax.Array:
@@ -135,23 +276,7 @@ def symbols_from_windows(
     (all candidates share the symmetric prototype).
     """
     n_samples = win.shape[-1]
-
-    # NCO derotation + gain normalization. The rotation exp(-j(dphi*n+phi))
-    # is built as a coarse x fine outer product — 2 complex multiplies per
-    # sample instead of one transcendental (a dense jnp.exp over [B,K,S]
-    # was ~10x the arithmetic cost of the rotation itself).
-    fine_n = 32
-    n_coarse = -(-n_samples // fine_n)
-    nf = jnp.arange(fine_n, dtype=jnp.float32)
-    ncs = jnp.arange(n_coarse, dtype=jnp.float32) * fine_n
-    e_fine = jnp.exp(-1j * det.dphi[..., None] * nf)  # [B, K, fine]
-    e_coarse = jnp.exp(
-        -1j * (det.dphi[..., None] * ncs + det.phi[..., None])
-    )  # [B, K, coarse]
-    nco = (e_coarse[..., :, None] * e_fine[..., None, :]).reshape(
-        det.start.shape + (n_coarse * fine_n,)
-    )[..., :n_samples]
-    win = win * nco / jnp.maximum(det.gamma[..., None], 1e-9)
+    win = _derotate_window(win, det)
 
     half = (fs.PULSE_LEN + 1) // 2  # 15 taps per polyphase arm
     if timing_bank:
@@ -179,9 +304,12 @@ def symbols_from_windows(
     return y.astype(jnp.complex64)
 
 
-def decode_header(hdr_syms: jax.Array):
-    """[..., 180] header symbols -> (header_valid, user_bytes[...,14],
-    payload_len, modulation, inner, outer)."""
+def decode_header_full(hdr_syms: jax.Array):
+    """[..., 180] header symbols -> ((header_valid, user_bytes[...,14],
+    payload_len, modulation, inner, outer), hdr_bytes[..., 22]).
+
+    The raw corrected 22 header bytes are returned too so the equalizer can
+    re-encode them as a training reference (_header_reference_symbols)."""
     idx = modem.demod_hard(hdr_syms, fs.HEADER_MOD)
     coded = modem.indices_to_bits(idx, 2)  # [..., 360]
     bits = golay2412().decode(coded)[..., : fs.HEADER_BITS]
@@ -192,7 +320,107 @@ def decode_header(hdr_syms: jax.Array):
     mod = hdr[..., 16].astype(jnp.int32)
     inner = hdr[..., 17].astype(jnp.int32)
     outer = hdr[..., 18].astype(jnp.int32)
-    return valid, user, plen, mod, inner, outer
+    return (valid, user, plen, mod, inner, outer), hdr
+
+
+def decode_header(hdr_syms: jax.Array):
+    """[..., 180] header symbols -> (header_valid, user_bytes[...,14],
+    payload_len, modulation, inner, outer)."""
+    return decode_header_full(hdr_syms)[0]
+
+
+# ---------------------------------------------------------------------------
+# linear equalizer (flexframesync's EQ stage; SURVEY.md section 2.2)
+# ---------------------------------------------------------------------------
+
+EQ_TAPS = 8
+
+
+def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-2) -> jax.Array:
+    """Train a symbol-spaced linear equalizer on known reference symbols.
+
+    liquid's flexframesync adapts an LMS equalizer sample-by-sample through
+    the preamble/header (SURVEY.md section 2.2 flexframesync row); a
+    sequential LMS is a poor TPU shape, so this solves the same Wiener
+    problem in closed form: regularized least squares over all training
+    symbols at once, batched over [B, K] candidates.
+
+        w = argmin sum_n |sum_t w[t] r[n+c-t] - d[n]|^2 + lam |w - delta|^2
+
+    The regularizer biases toward the identity filter (delta at the center
+    tap), so in a clean AWGN channel the equalizer costs almost nothing
+    (w -> delta as the data term vanishes) while under ISI the data term
+    dominates and w converges to the LS inverse. The complex normal
+    equations are solved via the real 2Lx2L embedding (TPU-friendly; no
+    complex linalg on the backend).
+
+    ``ref``: [n_ref] or [..., n_ref] known symbols aligned with
+    ``syms[..., :n_ref]``. Returns taps [..., EQ_TAPS].
+    """
+    L = EQ_TAPS
+    c = L // 2
+    n0 = L - 1 - c  # first row whose full regressor window exists
+    n_ref = ref.shape[-1]
+    rows = n_ref - n0
+    # A[n, t] = syms[n0 + n + c - t]
+    A = jnp.stack(
+        [syms[..., n0 + c - t : n0 + c - t + rows] for t in range(L)], axis=-1
+    )  # [..., rows, L]
+    d = jnp.broadcast_to(ref[..., n0:], A.shape[:-1])
+    G = jnp.einsum("...nl,...nm->...lm", jnp.conj(A), A)
+    rhs = jnp.einsum("...nl,...n->...l", jnp.conj(A), d)
+    diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
+    lam = lam_rel * jnp.mean(diag, axis=-1)  # [...]
+    delta = jnp.zeros((L,), dtype=G.dtype).at[c].set(1.0)
+    G = G + (lam[..., None, None] * jnp.eye(L, dtype=G.dtype))
+    rhs = rhs + lam[..., None] * delta
+    # real 2Lx2L embedding of the Hermitian system G w = rhs
+    Gr, Gi = jnp.real(G), jnp.imag(G)
+    M = jnp.concatenate(
+        [
+            jnp.concatenate([Gr, -Gi], axis=-1),
+            jnp.concatenate([Gi, Gr], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 2L, 2L]
+    b = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)], axis=-1)
+    w = jnp.linalg.solve(M, b[..., None])[..., 0]
+    return (w[..., :L] + 1j * w[..., L:]).astype(jnp.complex64)
+
+
+def _eq_apply(w: jax.Array, syms: jax.Array, n_out: int | None = None) -> jax.Array:
+    """Apply equalizer taps [..., L] to symbols [..., n]:
+    z[n] = sum_t w[t] syms[n + c - t], same indexing as _eq_train.
+
+    ``n_out`` limits the output length (the caller passes a context slice
+    ``syms[..., :n_out + c]`` to equalize only a prefix region cheaply).
+    """
+    L = EQ_TAPS
+    c = L // 2
+    n = syms.shape[-1]
+    if n_out is None:
+        n_out = n
+    lead = [(0, 0)] * (syms.ndim - 1)
+    back = max(0, n_out + c - n)
+    q = jnp.pad(syms, lead + [(L - 1 - c, back)])  # q[i] = syms[i - (L-1-c)]
+    z = jnp.zeros(syms.shape[:-1] + (n_out,), dtype=jnp.complex64)
+    for t in range(L):
+        z = z + w[..., t, None] * q[..., L - 1 - t : L - 1 - t + n_out]
+    return z
+
+
+def _header_reference_symbols(hdr_bytes: jax.Array) -> jax.Array:
+    """Re-encode decoded header bytes [..., 22] back to the TX's 180 QPSK
+    header symbols — the EQ retraining reference. When the header CRC
+    passed, this is bit-exactly the transmitted header."""
+    bits = bitops.bytes_to_bits(hdr_bytes)  # [..., 176]
+    pad = fs.HEADER_BITS_PADDED - fs.HEADER_BITS
+    bits = jnp.concatenate(
+        [bits, jnp.zeros(bits.shape[:-1] + (pad,), dtype=bits.dtype)], axis=-1
+    )
+    coded = golay2412().encode(bits)  # [..., 360]
+    idx = modem.bits_to_indices(coded, 2)
+    return modem.modulate(idx, fs.HEADER_MOD)
 
 
 def _refine_carrier(syms: jax.Array) -> jax.Array:
@@ -218,6 +446,12 @@ def _refine_carrier(syms: jax.Array) -> jax.Array:
     Derotates the whole symbol stream; payload residuals are handled by
     _dd_phase_track's own V&V linear stage.
     """
+    return _apply_carrier(syms, *_carrier_fit(syms))
+
+
+def _carrier_fit(syms: jax.Array):
+    """Fit the (phi_b, dphi) linear phase model from the preamble + header
+    region ``syms[..., :h1]`` (see _refine_carrier for the estimator)."""
     from liquiddsp_tpu.ops import msequence
 
     h0 = fs.PREAMBLE_SYMS
@@ -245,6 +479,12 @@ def _refine_carrier(syms: jax.Array) -> jax.Array:
     phi_b = phi_b + (jnp.pi / 2.0) * jnp.round((pred - phi_b) / (jnp.pi / 2.0))
 
     dphi = (phi_b - phi_a) / (n_b - n_a)
+    return phi_b, dphi
+
+
+def _apply_carrier(syms: jax.Array, phi_b: jax.Array, dphi: jax.Array) -> jax.Array:
+    """Derotate by the fitted model, anchored at the header center n_b."""
+    n_b = fs.PREAMBLE_SYMS + (fs.HEADER_SYMS - 1) / 2.0
     n = jnp.arange(syms.shape[-1], dtype=jnp.float32)
     corr = jnp.exp(-1j * (phi_b[..., None] + dphi[..., None] * (n - n_b)))
     return syms * corr
@@ -262,6 +502,8 @@ def sync_common(
     threshold: float = 0.45,
     refine: bool = True,
     timing_bank: bool = True,
+    equalize: bool = True,
+    track_sfo: bool | str = "auto",
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields, header EVM). ``n_syms`` is the static
@@ -287,12 +529,74 @@ def sync_common(
     det = dataclasses.replace(
         det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi)
     )
-    syms = symbols_from_windows(win, det, n_syms, timing_bank)
+    if track_sfo == "auto":
+        # sample-clock drift only walks off the symbol grid on long frames:
+        # at 50 ppm the static per-frame tau is off by >0.1 sample beyond
+        # ~2500 symbols. Short frames keep the cheaper static path.
+        track_sfo = n_syms >= SFO_AUTO_SYMS
+    if track_sfo:
+        syms = _sfo_recover(win, det, n_syms)
+    else:
+        syms = symbols_from_windows(win, det, n_syms, timing_bank)
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
-    if refine:
-        syms = _refine_carrier(syms)
-    hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
+    if equalize:
+        # Two-stage linear EQ (the flexframesync EQ stage, SURVEY.md
+        # section 2.2): EQ1 trained on the 64 known preamble symbols gets
+        # the header decodable under static ISI; once the header decodes,
+        # EQ2 retrains on preamble + re-encoded header (244 known symbols,
+        # ~6x lower coefficient noise) and re-equalizes the whole frame for
+        # the payload. Invalid-header candidates keep the EQ1 taps.
+        from liquiddsp_tpu.ops import msequence
+
+        pre_ref = jnp.asarray(msequence.preamble_symbols())
+        w1 = _eq_train(syms, pre_ref)
+        c = EQ_TAPS // 2
+        hdr_region = _eq_apply(w1, syms[..., : h1 + c], n_out=h1)
+        raw_region = syms[..., :h1]
+        if refine:
+            # Fit the carrier model per branch: the raw branch's fit (and
+            # thus its header decode) is bit-identical to the equalize=False
+            # path; the EQ branch fits on ISI-corrected symbols.
+            fit_eq = _carrier_fit(hdr_region)
+            fit_raw = _carrier_fit(syms)
+            hdr_region = _apply_carrier(hdr_region, *fit_eq)
+            raw_region = _apply_carrier(raw_region, *fit_raw)
+        # Decode the header from BOTH the equalized and the raw (refined)
+        # streams and accept either: EQ1's coefficient noise (61 training
+        # equations) costs ~0.5 dB on a clean channel, which must never
+        # lose a header the unequalized path would have decoded. Prefer
+        # the equalized decode when both pass (ISI channels).
+        (v_eq, u_eq, pl_eq, m_eq, i_eq, o_eq), hb_eq = decode_header_full(
+            hdr_region[..., h0:h1]
+        )
+        (v_raw, u_raw, pl_raw, m_raw, i_raw, o_raw), hb_raw = decode_header_full(
+            raw_region[..., h0:h1]
+        )
+        hdr_valid = v_eq | v_raw
+        pick = v_eq
+        user = jnp.where(pick[..., None], u_eq, u_raw)
+        plen = jnp.where(pick, pl_eq, pl_raw)
+        mod = jnp.where(pick, m_eq, m_raw)
+        inner = jnp.where(pick, i_eq, i_raw)
+        outer = jnp.where(pick, o_eq, o_raw)
+        hdr_bytes = jnp.where(pick[..., None], hb_eq, hb_raw)
+        if refine:
+            # derotate the full stream with the winning branch's fit
+            phi_b = jnp.where(pick, fit_eq[0], fit_raw[0])
+            dphi = jnp.where(pick, fit_eq[1], fit_raw[1])
+            syms = _apply_carrier(syms, phi_b, dphi)
+        hdr_ref = _header_reference_symbols(hdr_bytes)  # [B, K, 180]
+        refs = jnp.concatenate(
+            [jnp.broadcast_to(pre_ref, hdr_ref.shape[:-1] + (h0,)), hdr_ref], axis=-1
+        )
+        w2 = _eq_train(syms, refs)
+        w = jnp.where(hdr_valid[..., None], w2, w1)
+        syms = _eq_apply(w, syms)
+    else:
+        if refine:
+            syms = _refine_carrier(syms)
+        hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
 
     # header EVM from the refined symbols' own hard decisions
     hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
@@ -439,6 +743,8 @@ def framesync_fixed(
     threshold: float = 0.45,
     refine: bool = True,
     timing_bank: bool = True,
+    equalize: bool = True,
+    track_sfo: bool | str = "auto",
 ) -> FrameResults:
     """Full RX for blocks known to carry frames of one static config.
 
@@ -448,7 +754,7 @@ def framesync_fixed(
     """
     spec = fs.FrameSpec(cfg)
     det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync_common(
-        x, spec.frame_syms, max_frames, threshold, refine, timing_bank
+        x, spec.frame_syms, max_frames, threshold, refine, timing_bank, equalize, track_sfo
     )
 
     # payload: static config path, LLRs scaled by the per-frame EVM-derived
