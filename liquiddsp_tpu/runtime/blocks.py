@@ -60,6 +60,15 @@ def _payload_program(modulation: int, inner: int, outer: int, payload_len: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _gather_program(n_flat: int, n_take: int):
+    """One-shot device gather of ``n_take`` candidate slots out of the
+    flattened [B*K, n_syms] symbol buffer (replaces per-frame ``syms[b, k]``
+    slicing, which cost one host round-trip per frame)."""
+    return jax.jit(lambda s, e, idx: (s.reshape((n_flat,) + s.shape[2:])[idx],
+                                      e.reshape(n_flat)[idx]))
+
+
+@functools.lru_cache(maxsize=None)
 def _sync_program(n_syms: int, max_frames: int, threshold: float):
     return jax.jit(
         lambda x: phy_framesync.sync_common(x, n_syms, max_frames, threshold)
@@ -157,7 +166,15 @@ class FlexRx:
     def work(self, x) -> list[dict]:
         """Process a [B, T] (or [T]) sample block; publish constellation /
         payload_data / packet_info per decoded frame (lib/flex_rx_impl.cc:
-        203-253). Returns the list of packet_info dicts."""
+        203-253). Returns the list of packet_info dicts.
+
+        Payload decode is batched by header config: all header-valid frames
+        sharing (mod, inner, outer, plen) decode as ONE device call on a
+        power-of-2-padded [G, n_syms] stack (bounded jit variants per
+        config), instead of one device round-trip per frame — the closed
+        adaptation loop is otherwise host-dispatch-bound (the reference's
+        per-packet callback loop, lib/flex_rx_impl.cc:203-253, is sequential
+        by construction; this is its block-dense analog)."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
         det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync(x)
@@ -172,14 +189,18 @@ class FlexRx:
         cfo_h = np.asarray(det.dphi)
         start_h = np.asarray(det.start)
         infos: list[dict] = []
+
+        # group header-valid slots by decoded config
+        groups: dict[tuple[int, int, int, int], list[tuple[int, int]]] = {}
         for b, k in zip(*np.nonzero(mask)):
             # constellation published regardless of validity (cc:217-221)
-            self.bus.publish(
-                "constellation", PDU(meta={}, data=syms[b, k])
-            )
+            self.bus.publish("constellation", PDU(meta={}, data=syms[b, k]))
             if not hdr_valid[b, k]:
                 continue
-            m, i, o, pl = int(mod_h[b, k]), int(inner_h[b, k]), int(outer_h[b, k]), int(plen_h[b, k])
+            m, i, o, pl = (
+                int(mod_h[b, k]), int(inner_h[b, k]),
+                int(outer_h[b, k]), int(plen_h[b, k]),
+            )
             if not (
                 0 <= m < NUM_MODULATIONS
                 and 0 <= i < NUM_INNER_CODES
@@ -187,30 +208,46 @@ class FlexRx:
                 and 0 < pl <= self.max_payload_len
             ):
                 continue
-            decode = _payload_program(m, i, o, pl)
-            payload, crc_ok = decode(syms[b, k], evm_lin[b, k])
-            payload_valid = bool(crc_ok)
-            if payload_valid:
-                self.bus.publish("payload_data", PDU(meta={}, data=payload))
-            # framesyncstats_s parity: EVM/RSSI/CFO alongside the config
-            # fields (lib/flex_rx_impl.cc:198, 236-247)
-            info = {
-                "header_valid": 1,
-                "payload_valid": int(payload_valid),
-                "modulation": m,
-                "inner_code": i,
-                "outer_code": o,
-                "payload_len": pl,
-                "payload": payload,
-                "evm": float(10.0 * np.log10(max(evm_h[b, k], 1e-12))),
-                "rssi": float(rssi_h[b, k]),
-                "cfo": float(cfo_h[b, k]),
-                "start": int(start_h[b, k]),
-                "batch": int(b),
-            }
-            self.bus.publish("packet_info", info)
-            infos.append(info)
-            self.num_packets += 1
+            groups.setdefault((m, i, o, pl), []).append((int(b), int(k)))
+
+        K = mask.shape[1]
+        n_flat = mask.shape[0] * K
+        for (m, i, o, pl), slots in groups.items():
+            g = len(slots)
+            g_pad = 1 << (g - 1).bit_length()  # power-of-2 bucket
+            flat_idx = np.array(
+                [b * K + k for b, k in slots] + [slots[0][0] * K + slots[0][1]] * (g_pad - g),
+                dtype=np.int32,
+            )
+            gsyms, gevm = _gather_program(n_flat, g_pad)(syms, evm_lin, flat_idx)
+            payloads, crc_ok = _payload_program(m, i, o, pl)(gsyms, gevm)
+            payloads = np.asarray(payloads[:g])  # one transfer per group
+            crc_ok = np.asarray(crc_ok[:g])
+            for j, (b, k) in enumerate(slots):
+                payload_valid = bool(crc_ok[j])
+                if payload_valid:
+                    self.bus.publish("payload_data", PDU(meta={}, data=payloads[j]))
+                # framesyncstats_s parity: EVM/RSSI/CFO alongside the config
+                # fields (lib/flex_rx_impl.cc:198, 236-247)
+                info = {
+                    "header_valid": 1,
+                    "payload_valid": int(payload_valid),
+                    "modulation": m,
+                    "inner_code": i,
+                    "outer_code": o,
+                    "payload_len": pl,
+                    "payload": payloads[j],
+                    "evm": float(10.0 * np.log10(max(evm_h[b, k], 1e-12))),
+                    "rssi": float(rssi_h[b, k]),
+                    "cfo": float(cfo_h[b, k]),
+                    "start": int(start_h[b, k]),
+                    "batch": int(b),
+                }
+                self.bus.publish("packet_info", info)
+                infos.append(info)
+                self.num_packets += 1
+        # stable frame order across the batch (detection order within channel)
+        infos.sort(key=lambda d: (d["batch"], d["start"]))
         return infos
 
 

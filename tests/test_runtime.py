@@ -114,6 +114,44 @@ class TestBlocks:
         np.testing.assert_array_equal(np.asarray(infos[0]["payload"]), pa[0])
         np.testing.assert_array_equal(np.asarray(infos[1]["payload"]), pb[0])
 
+    def test_flex_rx_batched_group_decode(self):
+        """Many frames sharing a config across channels decode as one batched
+        device call (grouped by header config); mixed groups + odd group
+        sizes (power-of-2 padding) all come back bit-exact and in stable
+        (batch, start) order."""
+        rng = np.random.default_rng(7)
+        cfg_a = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=40)
+        cfg_b = FrameConfig(modulation=4, inner_code=2, outer_code=0, payload_len=40)
+        fa_len = np.asarray(framegen.framegen(jnp.zeros((1, 40), jnp.uint8), cfg_a)).shape[1]
+        fb_len = np.asarray(framegen.framegen(jnp.zeros((1, 40), jnp.uint8), cfg_b)).shape[1]
+        n_ch, t = 3, 12000
+        x = np.zeros((n_ch, t), dtype=np.complex64)
+        sent = {}  # (ch, start) -> (cfg tuple, payload)
+        for c in range(n_ch):
+            # frame 1: cfg_a early; frame 2: cfg_b later (except ch 2: two cfg_a)
+            p1 = rng.integers(0, 256, (1, 40), dtype=np.uint8)
+            p2 = rng.integers(0, 256, (1, 40), dtype=np.uint8)
+            c2 = cfg_a if c == 2 else cfg_b
+            f1 = np.asarray(framegen.framegen(jnp.asarray(p1), cfg_a))
+            f2 = np.asarray(framegen.framegen(jnp.asarray(p2), c2))
+            s1, s2 = 150 + 37 * c, 6200 + 53 * c
+            x[c, s1 : s1 + f1.shape[1]] = f1
+            x[c, s2 : s2 + f2.shape[1]] = f2
+            sent[(c, s1)] = ((cfg_a.modulation, cfg_a.inner_code, cfg_a.outer_code), p1[0])
+            sent[(c, s2)] = ((c2.modulation, c2.inner_code, c2.outer_code), p2[0])
+        rx = FlexRx(max_payload_len=40)
+        infos = rx.work(x)
+        assert len(infos) == 6 and rx.num_packets == 6
+        # stable order contract
+        order = [(d["batch"], d["start"]) for d in infos]
+        assert order == sorted(order)
+        for d in infos:
+            key = min(sent, key=lambda s: abs(s[1] - d["start"]) + 10000 * (s[0] != d["batch"]))
+            cfg_t, payload = sent[key]
+            assert (d["modulation"], d["inner_code"], d["outer_code"]) == cfg_t
+            assert d["payload_valid"]
+            np.testing.assert_array_equal(np.asarray(d["payload"]), payload)
+
     def test_frame_detector_block(self):
         rng = np.random.default_rng(3)
         payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)

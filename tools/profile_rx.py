@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 BATCH = 64
 BLOCK = 1 << 16
 SNR_DB = 20.0
-ITERS = 20
+ITERS = 5
 
 
 def _sync(r):
