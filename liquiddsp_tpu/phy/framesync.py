@@ -336,6 +336,43 @@ def decode_header(hdr_syms: jax.Array):
 EQ_TAPS = 8
 
 
+def _chol_solve_spd(M: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve via an unrolled Cholesky, vectorized over the batch.
+
+    ``jnp.linalg.solve`` on [..., n, n] tiny systems lowers to a sequential
+    LAPACK-style LU on TPU (measured: the single hottest op in the RX path,
+    ~17 ms/block vs <1 ms for this formulation). With n static and small
+    (16), an unrolled Cholesky + two substitutions is O(n^2) elementwise
+    vector ops over the batch — a pure VPU shape XLA fuses completely.
+    """
+    n = M.shape[-1]
+    mask = [
+        jnp.asarray((np.arange(n) >= j).astype(np.float32)) for j in range(n)
+    ]
+    cols = []  # cols[j] = L[..., :, j] (zeros above the diagonal)
+    for j in range(n):
+        c = M[..., :, j]
+        for k in range(j):
+            c = c - cols[k] * cols[k][..., j : j + 1]
+        d = jnp.sqrt(jnp.maximum(c[..., j : j + 1], 1e-20))
+        cols.append((c / d) * mask[j])
+    # forward substitution: L y = b
+    y = []
+    for j in range(n):
+        s = b[..., j]
+        for k in range(j):
+            s = s - cols[k][..., j] * y[k]
+        y.append(s / cols[j][..., j])
+    # back substitution: L^T x = y
+    x = [None] * n
+    for j in reversed(range(n)):
+        s = y[j]
+        for k in range(j + 1, n):
+            s = s - cols[j][..., k] * x[k]
+        x[j] = s / cols[j][..., j]
+    return jnp.stack(x, axis=-1)
+
+
 def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-2) -> jax.Array:
     """Train a symbol-spaced linear equalizer on known reference symbols.
 
@@ -384,7 +421,7 @@ def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-2) -> jax.Arr
         axis=-2,
     )  # [..., 2L, 2L]
     b = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)], axis=-1)
-    w = jnp.linalg.solve(M, b[..., None])[..., 0]
+    w = _chol_solve_spd(M, b)
     return (w[..., :L] + 1j * w[..., L:]).astype(jnp.complex64)
 
 

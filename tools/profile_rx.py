@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 BATCH = 64
 BLOCK = 1 << 16
 SNR_DB = 20.0
-ITERS = 5
+ITERS = 30  # large enough to amortize the ~25 ms final scalar-fetch RPC
 
 
 def _sync(r):
@@ -100,8 +100,8 @@ def main():
     results = {}
 
     for name, fn in [
+        ("corr_pallas", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_pallas(a, tm)))),
         ("corr_mm", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_mm(a, tm)))),
-        ("corr_fft", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_xla(a, tm)))),
     ]:
         try:
             dt = timeit(fn, x)
