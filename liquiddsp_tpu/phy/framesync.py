@@ -350,26 +350,31 @@ def _chol_solve_spd(M: jax.Array, b: jax.Array) -> jax.Array:
         jnp.asarray((np.arange(n) >= j).astype(np.float32)) for j in range(n)
     ]
     cols = []  # cols[j] = L[..., :, j] (zeros above the diagonal)
+    diags = []  # clamped pivots d_j — divide by these, not cols[j][..., j]:
+    # for a degenerate all-zero batch slot (masked detection, lam=0) the
+    # unclamped diagonal is exactly 0 and 0/0 would poison the taps with
+    # NaN; d_j >= 1e-10 keeps the output finite (identical for SPD inputs)
     for j in range(n):
         c = M[..., :, j]
         for k in range(j):
             c = c - cols[k] * cols[k][..., j : j + 1]
         d = jnp.sqrt(jnp.maximum(c[..., j : j + 1], 1e-20))
         cols.append((c / d) * mask[j])
+        diags.append(d[..., 0])
     # forward substitution: L y = b
     y = []
     for j in range(n):
         s = b[..., j]
         for k in range(j):
             s = s - cols[k][..., j] * y[k]
-        y.append(s / cols[j][..., j])
+        y.append(s / diags[j])
     # back substitution: L^T x = y
     x = [None] * n
     for j in reversed(range(n)):
         s = y[j]
         for k in range(j + 1, n):
             s = s - cols[j][..., k] * x[k]
-        x[j] = s / cols[j][..., j]
+        x[j] = s / diags[j]
     return jnp.stack(x, axis=-1)
 
 

@@ -19,6 +19,10 @@ Modes:
 Prints one JSON line per mesh size:
   {"n_time": N, "samples_per_sec": S, "per_device": S/N, "efficiency": e}
 where efficiency is per-device throughput relative to n_time=1.
+
+With --out FILE --tag NAME the points are also merged into a JSON artifact
+(bench/WEAK_SCALING.json) under the given tag, so the CPU-mesh curve and
+the real-TPU point land in one committed file (BASELINE config 5 evidence).
 """
 
 import argparse
@@ -39,14 +43,42 @@ def main():
                     help="samples per shard (constant per-shard work)")
     ap.add_argument("--batch", type=int, default=8, help="channels")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default="", help="merge points into this JSON artifact")
+    ap.add_argument("--tag", default="", help="artifact key for this run (e.g. cpu_mesh, tpu)")
+    ap.add_argument("--fixed-total", action="store_true",
+                    help="sharding-overhead mode: hold the TOTAL stream size "
+                         "constant (block x max mesh size) and compare the "
+                         "sharded program against the 1-device program on the "
+                         "same work. On an emulated CPU mesh (virtual devices "
+                         "= shared host threads) this is the meaningful "
+                         "efficiency measurement: weak scaling there is "
+                         "capped at cores/N by the host, not by the design.")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # tunneled-TPU init can hang indefinitely (CLAUDE.md); fail fast so
+        # tools/tpu_retry.sh can respawn
+        import threading
+
+        up = threading.Event()
+
+        def _watchdog():
+            if not up.wait(60):
+                print("backend init watchdog fired — exiting for retry",
+                      file=sys.stderr)
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()
+    if not args.cpu:
+        up.set()
 
     from liquiddsp_tpu.core.config import FrameConfig
     from liquiddsp_tpu.parallel.halo import shard_stream, sharded_framesync
@@ -58,11 +90,17 @@ def main():
     cfg = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=64)
     f = framegen.frame_length(cfg)
 
+    points = []
     base_per_dev = None
     for n_time in sizes:
         mesh = make_mesh(n_time=n_time, n_ch=1, devices=jax.devices()[:n_time])
-        t_total = args.block * n_time
-        max_frames = args.block // (f + 200) + 2
+        if args.fixed_total:
+            t_total = args.block * max(sizes)  # constant total work
+            shard_block = t_total // n_time
+        else:
+            t_total = args.block * n_time  # constant per-shard work
+            shard_block = args.block
+        max_frames = shard_block // (f + 200) + 2
 
         @jax.jit
         def synth(key):
@@ -97,16 +135,43 @@ def main():
         int(r)
         dt = (time.perf_counter() - t0) / args.iters
         rate = args.batch * t_total / dt
-        per_dev = rate / n_time
+        if args.fixed_total:
+            # overhead mode: same total work on the same host — ideal keeps
+            # the TOTAL rate flat as shards are added
+            per_dev = rate
+        else:
+            per_dev = rate / n_time
         if base_per_dev is None:
             base_per_dev = per_dev
-        print(json.dumps({
+        rec = {
             "n_time": n_time,
             "samples_per_sec": rate,
-            "per_device": per_dev,
+            "per_device": rate / n_time,
             "efficiency": per_dev / base_per_dev,
             "decoded_frames": n_ok,
-        }))
+        }
+        points.append(rec)
+        print(json.dumps(rec))
+
+    if args.out:
+        artifact = {}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                artifact = json.load(fh)
+        tag = args.tag or ("cpu_mesh" if args.cpu else "tpu")
+        artifact[tag] = {
+            "device": str(jax.devices()[0]),
+            "host_cores": os.cpu_count(),
+            "mode": "fixed_total_overhead" if args.fixed_total else "weak_scaling",
+            "block_per_shard": args.block,
+            "batch": args.batch,
+            "iters": args.iters,
+            "points": points,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(json.dumps({"artifact": args.out, "tag": tag,
+                          "final_efficiency": points[-1]["efficiency"]}))
 
 
 if __name__ == "__main__":

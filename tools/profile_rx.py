@@ -102,6 +102,7 @@ def main():
     for name, fn in [
         ("corr_pallas", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_pallas(a, tm)))),
         ("corr_mm", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_mm(a, tm)))),
+        ("corr_fft", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_xla(a, tm)))),
     ]:
         try:
             dt = timeit(fn, x)
