@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Closed-adaptation-loop benchmark (BASELINE config 4): packets/s through
+TX -> channel -> FlexRx (config-grouped batched decode) -> cognitive engine
+-> TX reconfiguration.
+
+The reference's loop is one packet at a time through GR message ports
+(python/cognitive_engine.py:78-149, lib/flex_rx_impl.cc:203-253). The
+TPU-native loop carries a BATCH of adaptive channels per iteration, each
+with its OWN current config (every engine decision is actually played —
+batching must not starve exploration): the TX assembles each config group's
+frames in one device call (power-of-2 group buckets, so shapes recur), the
+channel adds AWGN on-device, FlexRx decodes the whole mixed-config [B, T]
+block (one sync program + one grouped payload decode per config present),
+and the engine consumes B packet_info dicts and emits B next-configs.
+
+Timing protocol: the loop is fully deterministic (seeded engine RNG, seeded
+payloads, counter-derived noise keys), so it is run TWICE with identical
+seeds — the first pass warms the per-config jit caches (each config the
+bandit visits compiles exactly once, the production steady state), the
+second pass is timed. Reported: packets/s end-to-end plus the per-stage
+time split (tx+channel / rx / engine).
+
+Usage:
+    python bench/adapt_loop.py --cpu --batch 16 --iters 20   # quick CPU
+    python bench/adapt_loop.py --out bench/ADAPT_LOOP.json   # TPU artifact
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import functools
+
+import numpy as np
+
+LEAD = 256
+
+
+@functools.lru_cache(maxsize=None)
+def _channel_program(m, i, o, plen, t_block):
+    """TX assemble + AWGN channel for one config group, on-device. Group
+    size is bucket-padded by the caller so shapes recur. Module-level cache:
+    the warmup pass and the timed pass share compilations."""
+    import jax
+    import jax.numpy as jnp
+
+    from liquiddsp_tpu.core.config import FrameConfig
+    from liquiddsp_tpu.phy import framegen
+
+    cfg = FrameConfig(m, i, o, plen)
+    f = framegen.frame_length(cfg)
+
+    @jax.jit
+    def run(payloads, key, snr_db):
+        frames = framegen.framegen(payloads, cfg)  # [G, f]
+        x = jnp.pad(frames, ((0, 0), (LEAD, t_block - LEAD - f)))
+        p_sig = jnp.mean(jnp.abs(frames) ** 2)
+        sigma = jnp.sqrt(p_sig / (2 * 10 ** (snr_db / 10)))
+        k1, k2 = jax.random.split(key)
+        noise = sigma * (
+            jax.random.normal(k1, x.shape) + 1j * jax.random.normal(k2, x.shape)
+        )
+        return (x + noise).astype(jnp.complex64)
+
+    return run
+
+
+def _loop(args, jax, jnp, timed: bool):
+    """One full deterministic run; returns the stats dict."""
+    from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+    from liquiddsp_tpu.phy import frame_spec as fs
+    from liquiddsp_tpu.runtime.blocks import FlexRx
+    from liquiddsp_tpu.runtime.bus import MessageBus
+
+    lead = LEAD
+    t_block = lead + fs.max_frame_spec(args.payload_len).frame_samples + 256
+
+    def channel_program(m, i, o, plen):
+        return _channel_program(m, i, o, plen, t_block)
+
+    bus = MessageBus()
+    rx = FlexRx(max_payload_len=args.payload_len, max_frames_per_block=2, bus=bus)
+    ce = CognitiveEngineBlock(
+        ce_type=args.ce,
+        channel="nonstationary" if args.dynamic else "stationary",
+        seed=args.seed,
+    )
+    rng = np.random.default_rng(args.seed)
+    t_txch = t_rx = t_ce = 0.0
+    n_packets = 0
+    n_valid = 0
+    b = args.batch
+    cfgs = [(1, 0, 0)] * b  # per-channel (mod, inner, outer)
+    t_all0 = time.perf_counter()
+    for it in range(args.iters):
+        payloads_h = rng.integers(0, 256, (b, args.payload_len), dtype=np.uint8)
+        snr_db = args.snr
+        if args.dynamic:
+            noise_amp = ce.get_number()
+            snr_db = 10 * np.log10((0.05 / (2 * noise_amp)) ** 2)
+        t0 = time.perf_counter()
+        # group channels by config; one device call per group (bucket-padded)
+        groups: dict[tuple, list[int]] = {}
+        for ch, c in enumerate(cfgs):
+            groups.setdefault(c, []).append(ch)
+        blocks = []
+        order = []
+        for gi, ((m, i, o), chans) in enumerate(groups.items()):
+            g = len(chans)
+            g_pad = 1 << (g - 1).bit_length()
+            pick = chans + [chans[0]] * (g_pad - g)
+            pay = jnp.asarray(payloads_h[pick])
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed * 100003 + it), gi
+            )
+            xg = channel_program(m, i, o, args.payload_len)(
+                pay, key, jnp.float32(snr_db)
+            )
+            blocks.append(xg[:g])
+            order.extend(chans)
+        xcat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+        inv = np.argsort(np.asarray(order))
+        x = xcat[jnp.asarray(inv)]  # back to channel order
+        t1 = time.perf_counter()
+        infos = rx.work(x)
+        t2 = time.perf_counter()
+        # per-channel feedback: decoded frames report their own (header-
+        # decoded) config; lost frames report failure on the commanded
+        # config — the TX-side knowledge the reference loop also has
+        info_by_ch: dict[int, dict] = {}
+        for info in infos:
+            info_by_ch.setdefault(info["batch"], info)
+        nxt = list(cfgs)
+        for ch in range(b):
+            info = info_by_ch.get(ch)
+            if info is not None:
+                fb = {k: info[k] for k in
+                      ("header_valid", "payload_valid", "modulation",
+                       "inner_code", "outer_code")}
+                n_valid += info["payload_valid"]
+            else:
+                m, i, o = cfgs[ch]
+                fb = {"header_valid": 0, "payload_valid": 0,
+                      "modulation": m, "inner_code": i, "outer_code": o}
+            d = ce.handler(fb)
+            if d:
+                nxt[ch] = (d["modulation"], d["inner_code"], d["outer_code"])
+        cfgs = nxt
+        t3 = time.perf_counter()
+        t_txch += t1 - t0
+        t_rx += t2 - t1
+        t_ce += t3 - t2
+        n_packets += b
+    wall = time.perf_counter() - t_all0
+    return {
+        "packets": n_packets,
+        "payload_valid": n_valid,
+        "wall_s": wall,
+        "packets_per_sec": n_packets / wall,
+        "stage_s": {"tx_channel": t_txch, "rx": t_rx, "engine": t_ce},
+        "configs_visited": len({r.config_id for r in ce.store.rx_log}),
+        "final_configs": sorted(set(cfgs)),
+        "block_samples": t_block,
+        "samples_per_sec": n_packets * t_block / wall,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=64, help="channels per loop step")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--snr", type=float, default=15.0)
+    ap.add_argument("--dynamic", action="store_true",
+                    help="reference dynamic-noise schedule instead of fixed SNR")
+    ap.add_argument("--payload-len", type=int, default=32)
+    ap.add_argument("--ce", default="epsilon_greedy")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import threading
+
+        up = threading.Event()
+
+        def _watchdog():
+            if not up.wait(60):
+                print("backend init watchdog fired — exiting for retry",
+                      file=sys.stderr)
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+
+    warm = _loop(args, jax, jnp, timed=False)
+    print(f"warmup: {warm['packets_per_sec']:.1f} pkt/s "
+          f"({warm['configs_visited']} configs visited, compiles included)",
+          file=sys.stderr)
+    timed = _loop(args, jax, jnp, timed=True)
+    # determinism check: both passes must visit the identical config set,
+    # otherwise the timed pass contains compiles
+    assert timed["configs_visited"] == warm["configs_visited"], (
+        timed["configs_visited"], warm["configs_visited"])
+    result = {
+        "metric": "adapt_loop_packets_per_sec",
+        "value": timed["packets_per_sec"],
+        "unit": "packets/s",
+        "batch": args.batch,
+        "iters": args.iters,
+        "snr_db": args.snr,
+        "dynamic": args.dynamic,
+        "ce_type": args.ce,
+        "payload_len": args.payload_len,
+        "device": str(jax.devices()[0]),
+        "detail": timed,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,67 +33,125 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-# (modulation, inner, outer, label) — spans the modem family and the FEC
-# families (conv + punctured, Golay, RS, Hamming) per VERDICT r1 item 3
+# (modulation, inner, outer, label, impairment) — spans the modem family and
+# the FEC families (conv + punctured, Golay, RS, Hamming) per VERDICT r1
+# item 3; round 3 adds a long-frame row (>=2200 frame symbols, the SFO
+# tracker auto-engages + 40 ppm real clock offset via the arbitrary
+# resampler) and a static-multipath row (per-trial random 1-symbol echo,
+# the LMMSE EQ path) so the round-2 machinery shows up in the recorded
+# statistical artifact, not only in unit tests.
 CONFIGS = [
-    (0, 0, 0, "bpsk"),
-    (1, 0, 0, "qpsk"),
-    (1, 1, 1, "qpsk_v27_golay"),
-    (1, 6, 0, "qpsk_p78"),
-    (5, 1, 0, "dqpsk_v27"),
-    (8, 1, 2, "qam16_v27_rs"),
-    (10, 0, 0, "qam64"),
-    (10, 2, 3, "qam64_p23_h74"),
+    (0, 0, 0, "bpsk", None),
+    (1, 0, 0, "qpsk", None),
+    (1, 1, 1, "qpsk_v27_golay", None),
+    (1, 6, 0, "qpsk_p78", None),
+    (5, 1, 0, "dqpsk_v27", None),
+    (8, 1, 2, "qam16_v27_rs", None),
+    (10, 0, 0, "qam64", None),
+    (10, 2, 3, "qam64_p23_h74", None),
+    (0, 1, 1, "bpsk_v27_golay_long_sfo40", "sfo40"),
+    (1, 0, 0, "qpsk_multipath", "multipath"),
 ]
 
 SNR_GRID = [0.0, 2.5, 5.0, 7.5, 10.0, 12.5, 15.0, 20.0, 25.0, 30.0]
 BLOCK = 4096
 
 
+def theory_uncoded_fer(modulation: int, payload_len: int, snr_db: float) -> float:
+    """Closed-form AWGN frame-error rate for UNCODED BPSK/QPSK payloads —
+    the waterfall-position anchor (BASELINE.md:27 correctness contract).
+
+    SNR here is the per-sample SNR of the sweep's noise model (noise var
+    p_sig/10^(snr/10) per complex sample); with k=2 samples/symbol and a
+    matched filter, Es/N0 = k * snr_lin. Gray mapping makes bit errors
+    independent to first order: FER = 1 - (1-pb)^n_bits over the
+    payload+CRC24 bits (any bit error fails the CRC/bit-exactness check).
+
+    BPSK: pb = Q(sqrt(2 Es/N0)); QPSK: pb = Q(sqrt(Es/N0)).
+    """
+    import math
+
+    es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)  # k = fs.K_SAMP = 2
+    if modulation == 0:  # BPSK
+        arg = math.sqrt(2.0 * es_n0)
+    elif modulation == 1:  # QPSK
+        arg = math.sqrt(es_n0)
+    else:
+        raise ValueError("theory anchor covers uncoded BPSK/QPSK only")
+    pb = 0.5 * math.erfc(arg / math.sqrt(2.0))
+    n_bits = 8 * (payload_len + 3)  # payload + CRC-24
+    return 1.0 - (1.0 - pb) ** n_bits
+
+
 _PROGRAMS = {}
 
 
-def _trial_program(jax, jnp, cfg, trials, payload_len):
+def _trial_program(jax, jnp, cfg, trials, payload_len, impair=None):
     """Per-config jitted trial block; SNR is a traced scalar so all SNR
-    points of one config share a single compilation."""
-    key = (cfg, trials, payload_len)
+    points of one config share a single compilation.
+
+    ``impair``: extra channel impairment on top of the offset/phase/gain/
+    CFO/fractional-timing randomization —
+      "multipath": per-trial static 1-symbol echo, amplitude U(0.2, 0.4),
+                   uniform phase (the LMMSE equalizer path);
+      "sfo40":     +40 ppm TX/RX sample-clock offset applied with the
+                   framework's own arbitrary polyphase resampler (a real
+                   stretched waveform; the SFO tracker path).
+    """
+    key = (cfg, trials, payload_len, impair)
     if key in _PROGRAMS:
         return _PROGRAMS[key]
 
+    from liquiddsp_tpu.ops import resample
     from liquiddsp_tpu.phy import framegen
     from liquiddsp_tpu.phy.framesync import framesync_fixed
 
     f = framegen.frame_length(cfg)
-    assert f + 512 <= BLOCK, f"frame too long for block: {f}"
+    block = BLOCK
+    while f + 1024 > block:  # long-frame configs get a bigger block
+        block *= 2
 
     import numpy as np
 
     @jax.jit
     def trial_block(rng_key, snr_db):
-        kp, ko, kph, kg, kc, kt, kn = jax.random.split(rng_key, 7)
+        kp, ko, kph, kg, kc, kt, kn, km = jax.random.split(rng_key, 8)
         payloads = jax.random.randint(
             kp, (trials, payload_len), 0, 256, dtype=jnp.int32
         ).astype(jnp.uint8)
         frames = framegen.framegen(payloads, cfg)  # [N, f]
-        x = jnp.pad(frames, ((0, 0), (0, BLOCK - f)))
+        x = jnp.pad(frames, ((0, 0), (0, block - f)))
+        if impair == "sfo40":
+            # TX clock 40 ppm fast relative to the RX: resample the whole
+            # block; frame starts scale by 1/(1+ppm) (negligible vs the +-2
+            # sample detection criterion at these offsets)
+            x = resample.arbitrary(x, 1.0 / (1.0 + 40e-6), block)
         # random integer offset per trial via per-row roll (gather)
-        off = jax.random.randint(ko, (trials,), 200, BLOCK - f - 200)
-        idx = (jnp.arange(BLOCK)[None, :] - off[:, None]) % BLOCK
+        off = jax.random.randint(ko, (trials,), 200, block - f - 200)
+        idx = (jnp.arange(block)[None, :] - off[:, None]) % block
         x = jnp.take_along_axis(x, idx, axis=1)
+        if impair == "multipath":
+            # static per-trial 2-ray channel: echo at 1 symbol (2 samples)
+            amp = jax.random.uniform(km, (trials, 1), minval=0.2, maxval=0.4)
+            th = jax.random.uniform(
+                jax.random.fold_in(km, 1), (trials, 1), minval=-np.pi, maxval=np.pi
+            )
+            echo = jnp.pad(x[:, :-2], ((0, 0), (2, 0)))
+            x = x + amp * jnp.exp(1j * th) * echo
         # random carrier phase, gain, CFO, fractional delay
         phase = jax.random.uniform(kph, (trials, 1), minval=-np.pi, maxval=np.pi)
         gain = jax.random.uniform(kg, (trials, 1), minval=0.5, maxval=1.5)
         cfo = jax.random.uniform(kc, (trials, 1), minval=-0.015, maxval=0.015)
-        tt = jnp.arange(BLOCK, dtype=jnp.float32)
+        tt = jnp.arange(block, dtype=jnp.float32)
         x = x * gain * jnp.exp(1j * (cfo * tt + phase))
         frac = jax.random.uniform(kt, (trials, 1), minval=-0.5, maxval=0.5)
-        freqs = jnp.fft.fftfreq(BLOCK).astype(jnp.float32)
+        freqs = jnp.fft.fftfreq(block).astype(jnp.float32)
         x = jnp.fft.ifft(jnp.fft.fft(x, axis=1) * jnp.exp(-2j * np.pi * freqs * frac), axis=1)
         p_sig = jnp.mean(jnp.abs(frames) ** 2) * gain**2
         sigma = jnp.sqrt(p_sig / (2 * 10 ** (snr_db / 10)))
         noise = sigma * (
-            jax.random.normal(kn, (trials, BLOCK))
-            + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (trials, BLOCK))
+            jax.random.normal(kn, (trials, block))
+            + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (trials, block))
         )
         x = (x + noise).astype(jnp.complex64)
         res = framesync_fixed(x, cfg, max_frames=2)
@@ -114,9 +172,9 @@ def _trial_program(jax, jnp, cfg, trials, payload_len):
     return trial_block
 
 
-def run_point(jax, jnp, cfg, snr_db, trials, seed, payload_len=64):
+def run_point(jax, jnp, cfg, snr_db, trials, seed, payload_len=64, impair=None):
     """One (config, snr) point: ``trials`` single-frame blocks."""
-    prog = _trial_program(jax, jnp, cfg, trials, payload_len)
+    prog = _trial_program(jax, jnp, cfg, trials, payload_len, impair)
     det, hdr, ok = prog(jax.random.PRNGKey(seed), jnp.float32(snr_db))
     return int(det), int(hdr), int(ok)
 
@@ -142,25 +200,29 @@ def main():
     subset = set(args.configs.split(",")) if args.configs else None
     records = []
     t0 = time.time()
-    for mod, inner, outer, label in CONFIGS:
+    for mod, inner, outer, label, impair in CONFIGS:
         if subset and label not in subset:
             continue
         cfg = FrameConfig(mod, inner, outer, args.payload_len)
         for snr in SNR_GRID:
             det, hdr, ok = run_point(
-                jax, jnp, cfg, snr, args.trials, seed=hash((label, snr)) % (1 << 31)
+                jax, jnp, cfg, snr, args.trials,
+                seed=hash((label, snr)) % (1 << 31), impair=impair,
             )
             rec = {
                 "config": label,
                 "modulation": mod,
                 "inner_code": inner,
                 "outer_code": outer,
+                "impairment": impair,
                 "snr_db": snr,
                 "n": args.trials,
                 "det_rate": det / args.trials,
                 "hdr_rate": hdr / args.trials,
                 "fer": 1.0 - ok / args.trials,
             }
+            if inner == 0 and outer == 0 and mod in (0, 1) and impair is None:
+                rec["theory_fer"] = theory_uncoded_fer(mod, args.payload_len, snr)
             records.append(rec)
             print(
                 f"{label:16s} snr={snr:5.1f}  det={rec['det_rate']:.3f} "

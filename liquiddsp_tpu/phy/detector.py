@@ -76,6 +76,35 @@ def cfo_of_bin(b: int) -> float:
     return 2.0 * np.pi * b / (2 * TEMPLATE_LEN)
 
 
+TAU_BANK_PHASES = 16
+TAU_BANK_RANGE = 12  # delayed-template rows cover +-12/16 = +-0.75 samples
+
+
+@functools.lru_cache(maxsize=None)
+def _delayed_templates() -> np.ndarray:
+    """[2R+1, TEMPLATE_LEN] preamble templates fractionally delayed by
+    (q - R)/TAU_BANK_PHASES samples — delay-matched references for fine_cfo.
+
+    Correlating a window whose true timing offset is delta against the
+    UNdelayed template biases the dual-half CFO slope by ~0.01*delta
+    rad/sample (the half-window partial correlations of the PN preamble at
+    fractional lag acquire half-dependent phases). That residual CFO drifts
+    ~70 deg across the preamble->header gap at delta=0.5 — beyond
+    _carrier_fit's pi/4 branch budget — and was the dominant header-loss
+    mode of the 10 dB FER floor (all failing trials had |frac| >= 0.41).
+    Matching the template delay to the detector's tau estimate removes the
+    bias to first order."""
+    pre = msequence.preamble_symbols()
+    rows = []
+    for q in range(-TAU_BANK_RANGE, TAU_BANK_RANGE + 1):
+        h = rrc.rrcos_taps(dt=q / TAU_BANK_PHASES)
+        up = np.zeros(fs.K_SAMP * len(pre), dtype=np.complex64)
+        up[:: fs.K_SAMP] = pre
+        wave = np.convolve(up, h)
+        rows.append(wave[:TEMPLATE_LEN])
+    return np.stack(rows).astype(np.complex64)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Detections:
@@ -120,17 +149,32 @@ def correlate(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return corr, energy
 
 
-def fine_cfo(wins: jax.Array, coarse: jax.Array) -> jax.Array:
+def fine_cfo(
+    wins: jax.Array, coarse: jax.Array, tau: jax.Array | None = None
+) -> jax.Array:
     """Fine CFO from raw preamble windows [..., TEMPLATE_LEN]: derotate by
     the coarse (bin) estimate, then dual-half correlation phase slope against
-    the template — the qdetector residual-offset refinement."""
-    s = jnp.asarray(template())
+    the template — the qdetector residual-offset refinement.
+
+    ``tau`` (the detector's fractional-timing estimate, samples) selects a
+    delay-matched template row (_delayed_templates); without it the
+    estimator carries a ~0.01*tau rad/sample bias."""
+    if tau is None:
+        s = jnp.asarray(template())
+    else:
+        bank = jnp.asarray(_delayed_templates())
+        q = jnp.clip(
+            jnp.round(tau * TAU_BANK_PHASES).astype(jnp.int32),
+            -TAU_BANK_RANGE,
+            TAU_BANK_RANGE,
+        ) + TAU_BANK_RANGE
+        s = bank[q]  # [..., TEMPLATE_LEN]
     half = TEMPLATE_LEN // 2
     n = jnp.arange(TEMPLATE_LEN, dtype=jnp.float32)
     derot = jnp.exp(-1j * coarse[..., None] * n)
     wins_d = wins * derot
-    c1 = jnp.sum(wins_d[..., :half] * jnp.conj(s[:half]), axis=-1)
-    c2 = jnp.sum(wins_d[..., half:] * jnp.conj(s[half:]), axis=-1)
+    c1 = jnp.sum(wins_d[..., :half] * jnp.conj(s[..., :half]), axis=-1)
+    c2 = jnp.sum(wins_d[..., half:] * jnp.conj(s[..., half:]), axis=-1)
     return jnp.angle(c2 * jnp.conj(c1)) / half
 
 
@@ -215,7 +259,7 @@ def detect(
         from liquiddsp_tpu.kernels.extract import extract_windows
 
         wins = extract_windows(x, jnp.clip(start, 0, t - 1), TEMPLATE_LEN)
-        dphi = coarse + fine_cfo(wins, coarse)
+        dphi = coarse + fine_cfo(wins, coarse, tau)
     else:
         dphi = coarse
 

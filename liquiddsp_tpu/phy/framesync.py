@@ -569,7 +569,7 @@ def sync_common(
     n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
     win = extract_windows(x, det.start, n_samples)
     det = dataclasses.replace(
-        det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi)
+        det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi, det.tau)
     )
     if track_sfo == "auto":
         # sample-clock drift only walks off the symbol grid on long frames:

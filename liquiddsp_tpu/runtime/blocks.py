@@ -192,9 +192,12 @@ class FlexRx:
 
         # group header-valid slots by decoded config
         groups: dict[tuple[int, int, int, int], list[tuple[int, int]]] = {}
+        want_const = self.bus.has_subscribers("constellation")
         for b, k in zip(*np.nonzero(mask)):
-            # constellation published regardless of validity (cc:217-221)
-            self.bus.publish("constellation", PDU(meta={}, data=syms[b, k]))
+            # constellation published regardless of validity (cc:217-221);
+            # the per-slot device gather is skipped when nobody subscribes
+            if want_const:
+                self.bus.publish("constellation", PDU(meta={}, data=syms[b, k]))
             if not hdr_valid[b, k]:
                 continue
             m, i, o, pl = (

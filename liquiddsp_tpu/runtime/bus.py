@@ -35,6 +35,11 @@ class MessageBus:
     def subscribe(self, port: str, handler: Callable[[Any], None]):
         self._subs[port].append(handler)
 
+    def has_subscribers(self, port: str) -> bool:
+        """Lets publishers skip building expensive messages (e.g. per-slot
+        constellation gathers) nobody will consume."""
+        return bool(self._subs.get(port))
+
     def publish(self, port: str, msg: Any):
         """Synchronous dispatch to all subscribers (message_port_pub analog)."""
         for handler in self._subs[port]:

@@ -124,3 +124,45 @@ class TestDetectionSweep:
             taus.append(float(np.asarray(det.tau)[0, 0]))
         # tau estimate should be monotone in the injected delay
         assert taus[0] < taus[1] < taus[2]
+
+
+class TestHalfSampleTimingHeaders:
+    """Regression for the fine-CFO timing bias (round 3): correlating the
+    raw preamble window against the UNdelayed template biases the dual-half
+    CFO slope by ~0.01*delta rad/sample, which at |delta|~0.5 drifts ~70 deg
+    across the preamble->header gap and killed ~4% of headers at 10 dB
+    (every FER_SWEEP header failure had |frac| >= 0.41). The delay-matched
+    template bank (detector._delayed_templates) removes the bias; headers
+    at half-sample timing + large CFO must all decode."""
+
+    def test_headers_survive_half_sample_delay_with_cfo(self):
+        from liquiddsp_tpu.phy.framesync import framesync_fixed
+
+        rng = np.random.default_rng(77)
+        n = 24
+        payloads = rng.integers(0, 256, (n, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), CFG))
+        f = frames.shape[1]
+        t = 4096
+        x = np.zeros((n, t), dtype=np.complex64)
+        offs = rng.integers(200, t - f - 200, size=n)
+        for i in range(n):
+            x[i, offs[i] : offs[i] + f] = frames[i]
+        # worst-case grid: frac in {-0.5, +0.5} x cfo in {-0.012, +0.012}
+        fracs = np.where(np.arange(n) % 2 == 0, 0.5, -0.5)
+        cfos = np.where((np.arange(n) // 2) % 2 == 0, 0.012, -0.012)
+        freqs = np.fft.fftfreq(t)
+        x = np.fft.ifft(
+            np.fft.fft(x, axis=1) * np.exp(-2j * np.pi * freqs[None, :] * fracs[:, None]),
+            axis=1,
+        )
+        tt = np.arange(t)
+        x = x * np.exp(1j * cfos[:, None] * tt[None, :])
+        sigma = np.sqrt(np.mean(np.abs(frames) ** 2) / (2 * 10 ** (10.0 / 10)))
+        x = (
+            x + sigma * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+        ).astype(np.complex64)
+        res = framesync_fixed(jnp.asarray(x), CFG, max_frames=2)
+        near = (np.abs(np.asarray(res.start) - offs[:, None]) <= 2) & np.asarray(res.mask)
+        hdr = np.any(near & np.asarray(res.header_valid), axis=1)
+        assert hdr.all(), f"headers lost at half-sample timing: {hdr.sum()}/{n}"

@@ -39,3 +39,41 @@ class TestFERSweep:
         coded = fer_at(FrameConfig(1, 1, 1, 64), snr, seed=7)
         uncoded = fer_at(FrameConfig(1, 0, 0, 64), snr, seed=7)
         assert coded <= uncoded, f"no coding gain: coded {coded} vs uncoded {uncoded}"
+
+
+class TestTheoryAnchor:
+    """Waterfall POSITION vs the closed-form AWGN curve (VERDICT r2 item 3):
+    the measured uncoded FER at snr must not exceed the theory FER at
+    snr - 1 dB, i.e. total implementation loss (detection, CFO/timing
+    estimation, carrier tracking, EQ coefficient noise) under 1 dB. A
+    silently mistuned RX (e.g. the pre-r3 fine-CFO timing bias, which cost
+    ~4% header outage at 10 dB) fails this where shape-only monotonicity
+    assertions pass."""
+
+    N = 256
+
+    def _measured(self, cfg, snr, seed):
+        det, hdr, ok = run_point(jax, jnp, cfg, snr, self.N, seed=seed)
+        return 1.0 - ok / self.N
+
+    def test_qpsk_within_1db_of_theory(self):
+        from bench.fer_sweep import theory_uncoded_fer
+
+        snr = 9.5  # theory FER ~1e-2 region
+        fer = self._measured(FrameConfig(1, 0, 0, 64), snr, seed=11)
+        bound = theory_uncoded_fer(1, 64, snr - 1.0)
+        assert fer <= bound, (
+            f"QPSK FER {fer:.4f} at {snr} dB exceeds theory({snr - 1.0} dB)="
+            f"{bound:.4f}: implementation loss > 1 dB"
+        )
+
+    def test_bpsk_within_1db_of_theory(self):
+        from bench.fer_sweep import theory_uncoded_fer
+
+        snr = 6.0
+        fer = self._measured(FrameConfig(0, 0, 0, 64), snr, seed=13)
+        bound = theory_uncoded_fer(0, 64, snr - 1.0)
+        assert fer <= bound, (
+            f"BPSK FER {fer:.4f} at {snr} dB exceeds theory({snr - 1.0} dB)="
+            f"{bound:.4f}: implementation loss > 1 dB"
+        )
