@@ -117,3 +117,47 @@ class TestTimeSharding:
             )
 
         assert collect(ref) == collect(res)
+
+
+class TestDmaHalo:
+    def test_dma_halo_matches_ppermute(self, devices8):
+        """The fused remote-DMA halo (pltpu.make_async_remote_copy window
+        builder, SURVEY.md section 7.2 step 7) decodes the identical frame
+        set as the ppermute path on the same boundary-straddle stream."""
+        mesh = make_mesh(n_time=8, n_ch=1)
+        spec = fs.FrameSpec(QPSK_CFG)
+        t_local = 4096
+        t = 8 * t_local
+        rng = np.random.default_rng(1)
+        payloads = rng.integers(0, 256, (4, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), QPSK_CFG))
+        f = frames.shape[1]
+        starts = [t_local - f // 2, 3 * t_local - f + 20, 5 * t_local - 10, 6 * t_local + 500]
+        x = np.zeros((1, t), dtype=np.complex64)
+        for s, fr in zip(starts, frames):
+            x[0, s : s + f] = fr
+        xs = shard_stream(jnp.asarray(x), mesh)
+        results = {}
+        for backend in ("ppermute", "dma"):
+            res = jax.jit(
+                lambda a, h=backend: sharded_framesync(
+                    a, QPSK_CFG, mesh, max_frames_per_shard=4, halo=h
+                )
+            )(xs)
+            mask = np.asarray(res.mask)[0]
+            got = []
+            for k in np.nonzero(mask)[0]:
+                got.append(
+                    (int(np.asarray(res.start)[0, k]),
+                     bytes(np.asarray(res.payload)[0, k]),
+                     bool(np.asarray(res.payload_valid)[0, k]))
+                )
+            got.sort()
+            results[backend] = got
+        assert len(results["dma"]) == 4, results["dma"]
+        assert results["dma"] == results["ppermute"]
+        for (s_got, p_got, v), s_want, p_want in zip(
+            results["dma"], starts, payloads
+        ):
+            assert abs(s_got - s_want) <= 1 and v
+            assert p_got == bytes(p_want)
