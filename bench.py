@@ -42,7 +42,12 @@ PER_CHIP_BASELINE = 62.5e6  # 1 Gsample/s / 16 chips (BASELINE.md)
 
 BATCH = 64  # channels
 BLOCK = 1 << 16  # samples per channel per step
-ITERS = 10
+# Iterations per timing pass. The tunneled backend charges a fixed ~25 ms
+# RPC for the final scalar fetch that ends a pass; at 10 iters that fetch
+# was ~35% of the measured time (tools/profile_rx.py's null-dispatch floor).
+# 40 iters amortizes it below ~8% so the number reflects steady-state
+# throughput, which is what continuous RX actually runs at.
+ITERS = 40
 
 
 def _canary(jax, jnp):
@@ -190,6 +195,83 @@ def bench_config(jax, jnp, cfg, snr_db, require_all=True):
     }
 
 
+def bench_streaming(jax, jnp, cfg, snr_db, n_chunks=10, chunk_len=1 << 15):
+    """Steady-state streaming RX: StreamingRx.step over ``n_chunks`` carried
+    chunks (overlap-save boundary handling, runtime/stream.py) — the
+    continuous-operation shape of BASELINE config 5 (ref chunk contract at
+    lib/flex_rx_impl.h:47). The whole stream stays on device; frames are
+    placed so every chunk boundary is straddled by one frame, and the count
+    must come out exact (each straddler decoded exactly once, in the next
+    chunk's window)."""
+    from liquiddsp_tpu.phy import framegen
+    from liquiddsp_tpu.runtime.stream import StreamingRx
+
+    f = framegen.frame_length(cfg)
+    gap = int(0.8 * f)
+    period = 37 + f + gap
+    total = n_chunks * chunk_len
+    n_frames_row = sum(
+        1 for i in range(total // period + 1) if 37 + i * period + f <= total
+    )
+
+    @jax.jit
+    def synthesize(key):
+        kp, kn = jax.random.split(key)
+        payloads = jax.random.randint(
+            kp, (BATCH, cfg.payload_len), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        frames = framegen.framegen(payloads, cfg)
+        pattern = jnp.concatenate(
+            [jnp.zeros((BATCH, 37), jnp.complex64), frames,
+             jnp.zeros((BATCH, gap), jnp.complex64)],
+            axis=1,
+        )
+        reps = -(-total // pattern.shape[1])
+        x = jnp.tile(pattern, (1, reps))[:, :total]
+        p_sig = jnp.mean(jnp.abs(frames) ** 2)
+        sigma = jnp.sqrt(p_sig / (2 * 10 ** (snr_db / 10)))
+        noise = sigma * (
+            jax.random.normal(kn, (BATCH, total))
+            + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (BATCH, total))
+        )
+        return (x + noise).astype(jnp.complex64)
+
+    x = synthesize(jax.random.PRNGKey(1))
+    jax.block_until_ready(x)
+    chunks = [x[:, i * chunk_len : (i + 1) * chunk_len] for i in range(n_chunks)]
+    jax.block_until_ready(chunks)
+
+    rx = StreamingRx(cfg, BATCH, chunk_len)
+
+    def run_once():
+        rx.reset()
+        acc = None
+        for c in chunks:
+            res = rx.step(c)
+            v = jnp.sum(res.payload_valid.astype(jnp.int32))
+            acc = v if acc is None else acc + v
+        return int(acc)
+
+    n_ok = run_once()  # compile + correctness
+    expected = n_frames_row * BATCH
+    assert n_ok == expected, f"streaming decoded {n_ok}/{expected} frames"
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_ok = run_once()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    rate = BATCH * total / best_dt
+    return {
+        "samples_per_sec_per_chip": rate,
+        "vs_baseline": rate / PER_CHIP_BASELINE,
+        "chunk_len": chunk_len,
+        "n_chunks": n_chunks,
+        "decoded_frames": n_ok,
+        "expected_frames": expected,
+    }
+
+
 def main():
     jax, jnp = _ensure_backend()
     from liquiddsp_tpu.core.config import FrameConfig
@@ -204,6 +286,11 @@ def main():
         "fec": bench_config(
             jax, jnp, FrameConfig(modulation=1, inner_code=1, outer_code=1,
                                   payload_len=64), snr_db=10.0
+        ),
+        # continuous operation: chunked StreamingRx with overlap carry
+        "streaming": bench_streaming(
+            jax, jnp, FrameConfig(modulation=1, inner_code=0, outer_code=0,
+                                  payload_len=64), snr_db=20.0
         ),
     }
 
@@ -224,6 +311,9 @@ def main():
                         "samples_per_sec_per_chip"
                     ],
                     "fec_vs_baseline": results["fec"]["vs_baseline"],
+                    "streaming_samples_per_sec_per_chip": results["streaming"][
+                        "samples_per_sec_per_chip"
+                    ],
                     "configs": results,
                     "device": str(jax.devices()[0]),
                 },

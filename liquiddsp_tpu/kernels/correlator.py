@@ -83,19 +83,32 @@ def _template_key(templates: np.ndarray) -> tuple:
 
 
 def _fused_kernel(
-    x0r, x0i, x1r, x1i, mlr, mli, mhr, mhi, el, eh,
+    x0r, x0i, x1r, x1i, m1, m2, m3, em,
     rho_o, fb_o, cre_o, cim_o, en_o, *, f: int, l: int, inv_es: float,
 ):
-    """One grid step: NBT lag-blocks (NBT*L lags) of one batch row."""
-    a0r, a0i = x0r[0], x0i[0]  # [NBT, L]
-    a1r, a1i = x1r[0], x1i[0]
+    """One grid step: NBT lag-blocks (NBT*L lags) of one batch row.
+
+    The two signal blocks are lane-concatenated into one [NBT, 2L] operand
+    and the complex correlation X @ M uses Gauss's 3-multiplication trick
+    (k1=(ar+ai)Mr, k2=ai(Mr+Mi), k3=ar(Mi-Mr); cr=k1-k2, ci=k1+k3), so a
+    grid step is 3 correlation matmuls + 1 energy matmul instead of the
+    naive 8 + 2. Matmul operands may be bf16 (default on TPU — the MXU's
+    native dtype); accumulation is always f32 via preferred_element_type.
+    """
+    ar = jnp.concatenate([x0r[0], x1r[0]], axis=-1)  # [NBT, 2L]
+    ai = jnp.concatenate([x0i[0], x1i[0]], axis=-1)
+    dt = m1.dtype
     dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
-    # c = X0 @ M_low + X1 @ M_high, complex via 8 real matmuls
-    cr = dot(a0r, mlr) - dot(a0i, mli) + dot(a1r, mhr) - dot(a1i, mhi)
-    ci = dot(a0r, mli) + dot(a0i, mlr) + dot(a1r, mhi) + dot(a1i, mhr)
-    p0 = a0r * a0r + a0i * a0i
-    p1 = a1r * a1r + a1i * a1i
-    en = dot(p0, el) + dot(p1, eh)  # [NBT, L]
+    k1 = dot((ar + ai).astype(dt), m1)  # m1 = Mr
+    k2 = dot(ai, m2)  # m2 = Mr + Mi
+    k3 = dot(ar, m3)  # m3 = Mi - Mr
+    cr = k1 - k2
+    ci = k1 + k3
+    # energy: squares in f32 (bf16 squares would double the rounding), then
+    # one matmul against the 0/1 Toeplitz (exact in any dtype)
+    arf = ar.astype(jnp.float32)
+    aif = ai.astype(jnp.float32)
+    en = dot((arf * arf + aif * aif).astype(dt), em)  # [NBT, L]
     mag2 = cr * cr + ci * ci  # [NBT, F*L]
     # max/argmax over templates via F static lane slices
     m2 = mag2[:, :l]
@@ -119,8 +132,8 @@ def _fused_kernel(
 @functools.partial(jax.jit, static_argnames=("es", "interpret"))
 def _run_fused(x0r, x0i, x1r, x1i, mats, es, *, interpret: bool):
     b, nb, l = x0r.shape
-    mlr, mli, mhr, mhi, el, eh = mats
-    f = mlr.shape[1] // l
+    m1, m2, m3, em = mats
+    f = m1.shape[1] // l
     n_tiles = nb // NBT
     xspec = pl.BlockSpec((1, NBT, l), lambda bi, i: (bi, i, 0))
     cspec = lambda a: pl.BlockSpec(a.shape, lambda bi, i: (0,) * a.ndim)
@@ -139,29 +152,45 @@ def _run_fused(x0r, x0i, x1r, x1i, mats, es, *, interpret: bool):
     )(x0r, x0i, x1r, x1i, *mats)
 
 
+def _matmul_dtype() -> jnp.dtype:
+    """Correlator matmul operand dtype: bf16 by default (the MXU's native
+    input dtype — f32 matmuls run multi-pass on TPU), f32 via
+    LIQUIDDSP_CORRELATOR_DTYPE=float32 or the ``pallas_f32`` backend.
+    Accumulation is f32 either way; bf16 operand rounding costs ~-48 dB
+    relative error on rho2/corr, far below the detector's operating SNR
+    (parity pinned in tests/test_kernels.py)."""
+    import os
+
+    env = os.environ.get("LIQUIDDSP_CORRELATOR_DTYPE", "bfloat16")
+    return jnp.float32 if env in ("float32", "f32") else jnp.bfloat16
+
+
 def correlate_reduced_pallas(
-    x: jax.Array, templates: np.ndarray, interpret: bool = False
+    x: jax.Array,
+    templates: np.ndarray,
+    interpret: bool = False,
+    dtype: jnp.dtype | None = None,
 ):
     """x [B, T] complex64, templates [F, L] complex -> dict of [B, T] arrays:
     rho2, fbin (int32), corr (complex64), energy. Fused Pallas kernel."""
     f, l = templates.shape
     b, t = x.shape
+    if dtype is None:
+        dtype = _matmul_dtype()
     es = float(np.sum(np.abs(templates[0]) ** 2))
     mr_np, mi_np, em_np = _toeplitz_mats(_template_key(templates))
     nb = -(-t // l)
     nb = -(-nb // NBT) * NBT  # whole tiles
     pad = (nb + 1) * l - t
-    xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (0, pad)))
-    xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (0, pad)))
+    xr = jnp.pad(jnp.real(x).astype(dtype), ((0, 0), (0, pad)))
+    xi = jnp.pad(jnp.imag(x).astype(dtype), ((0, 0), (0, pad)))
     xr = xr.reshape(b, nb + 1, l)
     xi = xi.reshape(b, nb + 1, l)
     mats = (
-        jnp.asarray(mr_np[:l]),
-        jnp.asarray(mi_np[:l]),
-        jnp.asarray(mr_np[l:]),
-        jnp.asarray(mi_np[l:]),
-        jnp.asarray(em_np[:l]),
-        jnp.asarray(em_np[l:]),
+        jnp.asarray(mr_np, dtype),  # Mr
+        jnp.asarray(mr_np + mi_np, dtype),  # Mr + Mi
+        jnp.asarray(mi_np - mr_np, dtype),  # Mi - Mr
+        jnp.asarray(em_np, dtype),
     )
     outs = _run_fused(
         xr[:, :nb], xi[:, :nb], xr[:, 1:], xi[:, 1:], mats, es, interpret=interpret
@@ -255,6 +284,12 @@ def correlate_reduced(x: jax.Array, templates: np.ndarray, backend: str = "auto"
         return correlate_reduced_mm(x, templates)
     if backend == "pallas":
         return correlate_reduced_pallas(x, templates)
+    if backend == "pallas_f32":
+        return correlate_reduced_pallas(x, templates, dtype=jnp.float32)
     if backend == "pallas_interpret":
-        return correlate_reduced_pallas(x, templates, interpret=True)
+        return correlate_reduced_pallas(x, templates, interpret=True, dtype=jnp.float32)
+    if backend == "pallas_interpret_bf16":
+        return correlate_reduced_pallas(
+            x, templates, interpret=True, dtype=jnp.bfloat16
+        )
     return correlate_reduced_xla(x, templates)

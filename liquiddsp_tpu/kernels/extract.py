@@ -120,10 +120,20 @@ def extract_windows_xla(x: jax.Array, starts: jax.Array, n: int) -> jax.Array:
 
 
 def extract_windows(
-    x: jax.Array, starts: jax.Array, n: int, backend: str = "auto"
+    x: jax.Array,
+    starts: jax.Array,
+    n: int,
+    backend: str = "auto",
+    return_planes: bool = False,
 ) -> jax.Array:
     """Dispatch: Pallas DMA kernel on TPU, XLA fallback elsewhere (or forced
-    via ``backend`` / the LIQUIDDSP_EXTRACT_BACKEND env var)."""
+    via ``backend`` / the LIQUIDDSP_EXTRACT_BACKEND env var).
+
+    ``return_planes=True`` returns the raw (real, imag) f32 planes
+    [B, K, n_out] (n_out = n rounded up to a lane multiple, zero-padded)
+    instead of a complex array — consumers like the fused symbol-recovery
+    kernel (kernels/recover.py) read the planes directly, skipping a
+    complex64 materialization pass over the window array."""
     if backend == "auto":
         import os
 
@@ -142,5 +152,13 @@ def extract_windows(
         outr, outi = _extract_pallas(
             xr, xi, q, r, n_out=n_out, n_dma=n_dma, interpret=interpret
         )
+        if return_planes:
+            return outr, outi
         return (outr[..., :n] + 1j * outi[..., :n]).astype(jnp.complex64)
-    return extract_windows_xla(x, starts, n)
+    w = extract_windows_xla(x, starts, n)
+    if return_planes:
+        n_out = -(-n // LANE) * LANE
+        lead = [(0, 0)] * (w.ndim - 1)
+        wp = jnp.pad(w, lead + [(0, n_out - n)])
+        return jnp.real(wp).astype(jnp.float32), jnp.imag(wp).astype(jnp.float32)
+    return w

@@ -304,6 +304,33 @@ def symbols_from_windows(
     return y.astype(jnp.complex64)
 
 
+def _candidate_taps30(det: Detections, timing_bank: bool) -> jax.Array:
+    """Per-candidate 30-tap matched-filter rows [B, K, 30] (the fractional
+    -delay bank selection of symbols_from_windows, factored out for the
+    fused recovery kernel)."""
+    if timing_bank:
+        p_half = NUM_TIMING_PHASES // 2
+        q = jnp.clip(
+            jnp.round(-det.tau * NUM_TIMING_PHASES).astype(jnp.int32), -p_half, p_half
+        ) + p_half
+        return jnp.asarray(_timing_bank30())[q]
+    t30 = np.zeros(fs.PULSE_LEN + 1, dtype=np.float32)
+    t30[: fs.PULSE_LEN] = rrc.matched_taps()[::-1]
+    return jnp.broadcast_to(jnp.asarray(t30), det.start.shape + (fs.PULSE_LEN + 1,))
+
+
+def _recover_backend() -> str:
+    """Symbol-recovery backend: the fused Pallas derotate+MF kernel on TPU
+    (kernels/recover.py), the XLA slice-FMA formulation elsewhere.
+    Override via LIQUIDDSP_RECOVER_BACKEND=fused|fused_interpret|xla."""
+    import os
+
+    env = os.environ.get("LIQUIDDSP_RECOVER_BACKEND")
+    if env:
+        return env
+    return "fused" if jax.default_backend() not in ("cpu",) else "xla"
+
+
 def decode_header_full(hdr_syms: jax.Array):
     """[..., 180] header symbols -> ((header_valid, user_bytes[...,14],
     payload_len, modulation, inner, outer), hdr_bytes[..., 22]).
@@ -567,19 +594,38 @@ def sync_common(
 
     det = detect(x, max_frames, threshold, fine=False)
     n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
-    win = extract_windows(x, det.start, n_samples)
-    det = dataclasses.replace(
-        det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi, det.tau)
-    )
     if track_sfo == "auto":
         # sample-clock drift only walks off the symbol grid on long frames:
         # at 50 ppm the static per-frame tau is off by >0.1 sample beyond
         # ~2500 symbols. Short frames keep the cheaper static path.
         track_sfo = n_syms >= SFO_AUTO_SYMS
-    if track_sfo:
-        syms = _sfo_recover(win, det, n_syms)
+    backend = _recover_backend()
+    if backend.startswith("fused") and not track_sfo:
+        # fused TPU fast path: extraction stays as f32 planes; derotation +
+        # matched filter + decimation run in one Pallas pass (recover.py)
+        from liquiddsp_tpu.kernels.recover import recover_symbols_planes
+
+        wr, wi = extract_windows(x, det.start, n_samples, return_planes=True)
+        pre = (wr[..., :TEMPLATE_LEN] + 1j * wi[..., :TEMPLATE_LEN]).astype(
+            jnp.complex64
+        )
+        det = dataclasses.replace(
+            det, dphi=det.dphi + fine_cfo(pre, det.dphi, det.tau)
+        )
+        syms = recover_symbols_planes(
+            wr, wi, det.dphi, det.phi, det.gamma,
+            _candidate_taps30(det, timing_bank), n_syms,
+            interpret=backend == "fused_interpret",
+        )
     else:
-        syms = symbols_from_windows(win, det, n_syms, timing_bank)
+        win = extract_windows(x, det.start, n_samples)
+        det = dataclasses.replace(
+            det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi, det.tau)
+        )
+        if track_sfo:
+            syms = _sfo_recover(win, det, n_syms)
+        else:
+            syms = symbols_from_windows(win, det, n_syms, timing_bank)
 
     h0, h1 = fs.PREAMBLE_SYMS, fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     if equalize:

@@ -57,7 +57,13 @@ class StreamingRx:
             2, (chunk_len + self.overlap) // self.frame_samples + 1
         )
         self.threshold = threshold
-        self._carry = jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        # carry built inside jit: eager complex array creation is poisoned on
+        # the tunneled axon backend (CLAUDE.md) — the array looks fine until
+        # a consumer hits UNIMPLEMENTED
+        self._make_carry = jax.jit(
+            lambda: jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        )
+        self._carry = self._make_carry()
         self._samples_consumed = 0  # absolute index of carry[0]
         self._step = jax.jit(
             functools.partial(
@@ -68,6 +74,12 @@ class StreamingRx:
                 frame_samples=self.frame_samples,
             )
         )
+
+    def reset(self) -> None:
+        """Zero the carry and stream position (a new stream on the same
+        compiled step — reuses the jit cache, unlike a fresh instance)."""
+        self._carry = self._make_carry()
+        self._samples_consumed = 0
 
     def step(self, chunk: jax.Array) -> FrameResults:
         """Process [B, chunk_len] new samples; returns FrameResults whose

@@ -99,6 +99,14 @@ def main():
 
     results = {}
 
+    # dispatch/fetch floor: a trivial jit on a tiny array — everything below
+    # carries roughly this much non-compute overhead per measurement
+    tiny = jnp.zeros((8,), jnp.float32)
+    null_fn = jax.jit(lambda a: a + 1.0)
+    dt = timeit(null_fn, tiny)
+    results["null_dispatch"] = dt
+    print(f"{'null dispatch floor':24s} {dt*1e3:8.2f} ms")
+
     for name, fn in [
         ("corr_pallas", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_pallas(a, tm)))),
         ("corr_mm", jax.jit(lambda a: jax.tree.map(lambda v: v, C.correlate_reduced_mm(a, tm)))),
@@ -114,6 +122,7 @@ def main():
     # detect only
     det_fn = jax.jit(lambda a: jax.tree.map(lambda v: v, D.detect(a, max_frames)))
     dt = timeit(det_fn, x)
+    results["detect"] = dt
     print(f"{'detect(mm)':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s")
     det = det_fn(x)
 
@@ -127,22 +136,53 @@ def main():
     spec = fs.FrameSpec(cfg)
     ext_fn = jax.jit(lambda a, d: extract_symbols(a, d, spec.frame_syms))
     dt = timeit(ext_fn, x, det)
+    results["extract_symbols"] = dt
     print(f"{'extract_symbols':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s")
+
+    # extract_symbols sub-stages: window DMA / derotate / polyphase MF
+    from liquiddsp_tpu.kernels.extract import extract_windows
+    from liquiddsp_tpu.phy.framesync import _derotate_window, symbols_from_windows
+
+    n_win = fs.K_SAMP * spec.frame_syms + fs.PULSE_TAIL
+    win_fn = jax.jit(lambda a, d: extract_windows(a, d.start, n_win))
+    dt = timeit(win_fn, x, det)
+    results["extract_windows"] = dt
+    print(f"{'  extract_windows':24s} {dt*1e3:8.2f} ms")
+    win = win_fn(x, det)
+    jax.block_until_ready(win)
+    der_fn = jax.jit(lambda w, d: _derotate_window(w, d))
+    dt = timeit(der_fn, win, det)
+    results["derotate_window"] = dt
+    print(f"{'  derotate_window':24s} {dt*1e3:8.2f} ms")
+    sfw_fn = jax.jit(lambda w, d: symbols_from_windows(w, d, spec.frame_syms))
+    dt = timeit(sfw_fn, win, det)
+    results["symbols_from_windows"] = dt
+    print(f"{'  syms_from_windows':24s} {dt*1e3:8.2f} ms (incl. derotate)")
 
     # full framesync
     full = jax.jit(lambda a: framesync_fixed(a, cfg, max_frames=max_frames).payload_valid.sum())
     dt = timeit(full, x)
     nv = int(full(x))
+    results["framesync_fixed"] = dt
     print(f"{'framesync_fixed':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s   valid={nv}")
 
     # full framesync again (stability check)
     dt = timeit(full, x)
+    results["framesync_fixed_2"] = dt
     print(f"{'framesync_fixed(2)':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s")
+
+    # framesync without the equalizer (EQ train+apply cost)
+    noeq = jax.jit(lambda a: framesync_fixed(a, cfg, max_frames=max_frames, equalize=False).payload_valid.sum())
+    dt = timeit(noeq, x)
+    nv = int(noeq(x))
+    results["framesync_noeq"] = dt
+    print(f"{'framesync(noeq)':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s   valid={nv}")
 
     # framesync without refine / timing bank (lighter variants)
     lite = jax.jit(lambda a: framesync_fixed(a, cfg, max_frames=max_frames, refine=False, timing_bank=False).payload_valid.sum())
     dt = timeit(lite, x)
     nv = int(lite(x))
+    results["framesync_lite"] = dt
     print(f"{'framesync(lite)':24s} {dt*1e3:8.2f} ms  -> {n_samp/dt/1e6:8.1f} Msamp/s   valid={nv}")
 
     # --- payload-path sub-stages on realistic shapes -----------------------
@@ -156,6 +196,7 @@ def main():
 
     hdr_fn = jax.jit(lambda s: decode_header(s[..., h0:h1]))
     dt = timeit(hdr_fn, syms)
+    results["decode_header"] = dt
     print(f"{'decode_header':24s} {dt*1e3:8.2f} ms")
 
     ref_fn = jax.jit(_refine_carrier)
@@ -164,7 +205,33 @@ def main():
 
     pay_fn = jax.jit(lambda s: decode_payload_symbols(s, cfg))
     dt = timeit(pay_fn, syms)
+    results["decode_payload"] = dt
     print(f"{'decode_payload':24s} {dt*1e3:8.2f} ms")
+
+    # EQ stage split (the full-vs-noeq gap): train on preamble, train on
+    # preamble+header, apply over the whole frame
+    from liquiddsp_tpu.phy.framesync import _eq_train, _eq_apply, EQ_TAPS
+    from liquiddsp_tpu.ops import msequence as mseq
+
+    pre_ref = jnp.asarray(mseq.preamble_symbols())
+    tr1_fn = jax.jit(lambda s: _eq_train(s, pre_ref))
+    dt = timeit(tr1_fn, syms)
+    results["eq_train_preamble"] = dt
+    print(f"{'eq_train(preamble)':24s} {dt*1e3:8.2f} ms")
+    w1 = tr1_fn(syms)
+    jax.block_until_ready(w1)
+    refs244 = jnp.broadcast_to(
+        jnp.concatenate([pre_ref, jnp.zeros(180, jnp.complex64)]),
+        syms.shape[:-1] + (244,),
+    )
+    tr2_fn = jax.jit(lambda s, r: _eq_train(s, r))
+    dt = timeit(tr2_fn, syms, refs244)
+    results["eq_train_244"] = dt
+    print(f"{'eq_train(pre+hdr)':24s} {dt*1e3:8.2f} ms")
+    ap_fn = jax.jit(lambda w, s: _eq_apply(w, s))
+    dt = timeit(ap_fn, w1, syms)
+    results["eq_apply_full"] = dt
+    print(f"{'eq_apply(full)':24s} {dt*1e3:8.2f} ms")
 
     msg = jnp.zeros((BATCH, max_frames, 67), jnp.uint8)
     crc_fn = jax.jit(lambda m: crc.crc24_check(m))
@@ -175,6 +242,30 @@ def main():
     gol_fn = jax.jit(lambda c: golay2412().decode(c))
     dt = timeit(gol_fn, coded)
     print(f"{'golay decode [B,K,360]':24s} {dt*1e3:8.2f} ms")
+
+    # JSON artifact (bench/PROFILE.json): per-stage seconds + derived
+    # throughput with the dispatch floor subtracted out
+    if "--json" in sys.argv:
+        import json
+
+        floor = results.get("null_dispatch", 0.0)
+        best_full = min(
+            results.get("framesync_fixed", 1e9), results.get("framesync_fixed_2", 1e9)
+        )
+        out = {
+            "batch": BATCH,
+            "block": BLOCK,
+            "snr_db": SNR_DB,
+            "iters": ITERS,
+            "stage_seconds": results,
+            "dispatch_floor_s": floor,
+            "compute_samples_per_sec_per_chip": n_samp / max(best_full - floor, 1e-9),
+            "device": str(jax.devices()[0]),
+        }
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
