@@ -64,13 +64,31 @@ class ShardedStreamingRx:
         self.chunk_len = chunk_len
         self.max_frames = max_frames_per_shard
         self.threshold = threshold
-        self._carry = jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        # all complex array construction happens inside jit: eager complex
+        # ops return poisoned arrays on the tunneled axon backend (CLAUDE.md)
+        self._make_carry = jax.jit(
+            lambda: jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
+        )
+        self._carry = self._make_carry()
         self._consumed = 0
 
         real_len = self.overlap + chunk_len  # window minus the zero pad
 
         @jax.jit
-        def step(window):
+        def assemble(carry, chunk):
+            # window build + next global tail (last overlap received samples)
+            window = jnp.concatenate(
+                [carry, chunk,
+                 jnp.zeros((carry.shape[0], self.pad), dtype=jnp.complex64)],
+                axis=-1,
+            )
+            new_carry = jnp.concatenate([carry, chunk], axis=-1)[:, -self.overlap :]
+            return window, new_carry
+
+        self._assemble = assemble
+
+        @jax.jit
+        def step(window, base):
             res = sharded_framesync(
                 window, cfg, mesh, max_frames_per_shard=max_frames_per_shard,
                 threshold=threshold,
@@ -84,28 +102,28 @@ class ShardedStreamingRx:
                 mask=res.mask & contained,
                 header_valid=res.header_valid & contained,
                 payload_valid=res.payload_valid & contained,
+                # start as absolute stream sample index
+                start=res.start + base,
             )
             metrics = LinkMetrics.from_results(res, window.shape[-1])
             return res, metrics
 
         self._step = step
 
+    def reset(self) -> None:
+        """Zero the carry and stream position (new stream, same jits)."""
+        self._carry = self._make_carry()
+        self._consumed = 0
+
     def step(self, chunk: jax.Array):
         """[batch, chunk_len] new samples -> (FrameResults, LinkMetrics).
 
         Returned ``start`` values are absolute stream sample indices."""
         assert chunk.shape == (self.batch, self.chunk_len)
-        window = jnp.concatenate(
-            [self._carry, chunk,
-             jnp.zeros((self.batch, self.pad), dtype=jnp.complex64)],
-            axis=-1,
-        )
+        window, new_carry = self._assemble(self._carry, chunk)
         window = shard_stream(window, self.mesh)
-        res, metrics = self._step(window)
-        res = dataclasses.replace(
-            res, start=res.start + (self._consumed - self.overlap)
-        )
-        # global tail: last overlap samples of the received stream
-        self._carry = jnp.concatenate([self._carry, chunk], axis=-1)[:, -self.overlap :]
+        base = jnp.int32(self._consumed - self.overlap)
+        res, metrics = self._step(window, base)
+        self._carry = new_carry
         self._consumed += self.chunk_len
         return res, metrics

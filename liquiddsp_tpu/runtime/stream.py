@@ -85,11 +85,12 @@ class StreamingRx:
         """Process [B, chunk_len] new samples; returns FrameResults whose
         ``start`` fields are absolute stream sample indices."""
         assert chunk.shape == (self.batch, self.chunk_len)
-        res, self._carry = self._step(self._carry, chunk)
-        # window[0] sits at absolute index samples_consumed - overlap
-        res = dataclasses.replace(
-            res, start=res.start + (self._samples_consumed - self.overlap)
-        )
+        # window[0] sits at absolute index samples_consumed - overlap; the
+        # offset rides into the jitted step as a traced scalar (one compiled
+        # program, one dispatch per chunk — a host-side replace() after the
+        # step cost a second dispatch per chunk)
+        base = jnp.int32(self._samples_consumed - self.overlap)
+        res, self._carry = self._step(self._carry, chunk, base)
         self._samples_consumed += self.chunk_len
         return res
 
@@ -105,7 +106,7 @@ class StreamingRx:
         return out
 
 
-def _stream_step(carry, chunk, *, cfg, max_frames, threshold, frame_samples):
+def _stream_step(carry, chunk, base, *, cfg, max_frames, threshold, frame_samples):
     window = jnp.concatenate([carry, chunk], axis=-1)
     res = framesync_fixed(window, cfg, max_frames=max_frames, threshold=threshold)
     w = window.shape[-1]
@@ -116,8 +117,8 @@ def _stream_step(carry, chunk, *, cfg, max_frames, threshold, frame_samples):
         mask=mask,
         header_valid=res.header_valid & contained,
         payload_valid=res.payload_valid & contained,
-        # start relative to the stream position of carry[0]
-        start=res.start,
+        # start as absolute stream sample index (base = position of carry[0])
+        start=res.start + base,
     )
     new_carry = window[:, -(frame_samples - 1):]
     return res, new_carry
