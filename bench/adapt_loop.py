@@ -193,7 +193,7 @@ def main():
         up = threading.Event()
 
         def _watchdog():
-            if not up.wait(60):
+            if not up.wait(120):
                 print("backend init watchdog fired — exiting for retry",
                       file=sys.stderr)
                 os._exit(3)
@@ -203,6 +203,8 @@ def main():
     import jax.numpy as jnp
 
     jax.devices()
+    if not args.cpu:
+        up.set()  # disarm the init watchdog — backend is up
 
     warm = _loop(args, jax, jnp, timed=False)
     print(f"warmup: {warm['packets_per_sec']:.1f} pkt/s "

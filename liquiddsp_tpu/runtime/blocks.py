@@ -52,27 +52,55 @@ def _tx_program(modulation: int, inner: int, outer: int, payload_len: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _payload_program(modulation: int, inner: int, outer: int, payload_len: int):
+def _payload_program(modulation: int, inner: int, outer: int, payload_len: int,
+                     n_flat: int, n_take: int):
+    """Gather ``n_take`` slots out of the flattened [B*K, n_syms] symbol
+    buffer AND decode them as one device call (a separate gather program
+    cost one extra tunnel dispatch per config group). Returns a single
+    uint8 [n_take, payload_len + 1] array — payload bytes with the CRC flag
+    appended as a final column — so the host needs ONE transfer per group."""
     cfg = FrameConfig(modulation, inner, outer, payload_len)
-    return jax.jit(
-        lambda syms, nv: phy_framesync.decode_payload_symbols(syms, cfg, noise_var=nv)
-    )
 
+    def run(syms, evm, idx):
+        s = syms.reshape((n_flat,) + syms.shape[2:])[idx]
+        nv = evm.reshape(n_flat)[idx]
+        payloads, crc_ok = phy_framesync.decode_payload_symbols(
+            s, cfg, noise_var=nv
+        )
+        return jnp.concatenate(
+            [payloads, crc_ok[:, None].astype(jnp.uint8)], axis=-1
+        )
 
-@functools.lru_cache(maxsize=None)
-def _gather_program(n_flat: int, n_take: int):
-    """One-shot device gather of ``n_take`` candidate slots out of the
-    flattened [B*K, n_syms] symbol buffer (replaces per-frame ``syms[b, k]``
-    slicing, which cost one host round-trip per frame)."""
-    return jax.jit(lambda s, e, idx: (s.reshape((n_flat,) + s.shape[2:])[idx],
-                                      e.reshape(n_flat)[idx]))
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
 def _sync_program(n_syms: int, max_frames: int, threshold: float):
-    return jax.jit(
-        lambda x: phy_framesync.sync_common(x, n_syms, max_frames, threshold)
-    )
+    """sync_common plus one packed [10, B, K] f32 plane so the host reads
+    every per-slot scalar (mask/header/config/stats) in ONE transfer —
+    nine separate np.asarray fetches cost nine tunnel round trips."""
+
+    def run(x):
+        det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = (
+            phy_framesync.sync_common(x, n_syms, max_frames, threshold)
+        )
+        packed = jnp.stack(
+            [
+                det.mask.astype(jnp.float32),
+                hdr_valid.astype(jnp.float32),
+                plen.astype(jnp.float32),
+                mod.astype(jnp.float32),
+                inner.astype(jnp.float32),
+                outer.astype(jnp.float32),
+                evm_lin,
+                det.gamma,
+                det.dphi,
+                det.start.astype(jnp.float32),
+            ]
+        )
+        return syms, evm_lin, packed
+
+    return jax.jit(run)
 
 
 class FlexTx:
@@ -177,17 +205,18 @@ class FlexRx:
         by construction; this is its block-dense analog)."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
-        det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync(x)
-        mask = np.asarray(det.mask)
-        hdr_valid = np.asarray(hdr_valid)
-        plen_h = np.asarray(plen)
-        mod_h = np.asarray(mod)
-        inner_h = np.asarray(inner)
-        outer_h = np.asarray(outer)
-        evm_h = np.asarray(evm_lin)
-        rssi_h = 20.0 * np.log10(np.maximum(np.asarray(det.gamma), 1e-12))
-        cfo_h = np.asarray(det.dphi)
-        start_h = np.asarray(det.start)
+        syms, evm_lin, packed = sync(x)
+        P = np.asarray(packed)  # [10, B, K] — the block's ONLY sync fetch
+        mask = P[0] > 0.5
+        hdr_valid = P[1] > 0.5
+        plen_h = P[2].astype(np.int64)
+        mod_h = P[3].astype(np.int64)
+        inner_h = P[4].astype(np.int64)
+        outer_h = P[5].astype(np.int64)
+        evm_h = P[6]
+        rssi_h = 20.0 * np.log10(np.maximum(P[7], 1e-12))
+        cfo_h = P[8]
+        start_h = P[9].astype(np.int64)
         infos: list[dict] = []
 
         # group header-valid slots by decoded config
@@ -222,10 +251,13 @@ class FlexRx:
                 [b * K + k for b, k in slots] + [slots[0][0] * K + slots[0][1]] * (g_pad - g),
                 dtype=np.int32,
             )
-            gsyms, gevm = _gather_program(n_flat, g_pad)(syms, evm_lin, flat_idx)
-            payloads, crc_ok = _payload_program(m, i, o, pl)(gsyms, gevm)
-            payloads = np.asarray(payloads[:g])  # one transfer per group
-            crc_ok = np.asarray(crc_ok[:g])
+            out = np.asarray(
+                _payload_program(m, i, o, pl, n_flat, g_pad)(
+                    syms, evm_lin, flat_idx
+                )[:g]
+            )  # one dispatch + one transfer per group
+            payloads = out[:, :-1]
+            crc_ok = out[:, -1] != 0
             for j, (b, k) in enumerate(slots):
                 payload_valid = bool(crc_ok[j])
                 if payload_valid:

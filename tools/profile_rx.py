@@ -159,6 +159,24 @@ def main():
     results["symbols_from_windows"] = dt
     print(f"{'  syms_from_windows':24s} {dt*1e3:8.2f} ms (incl. derotate)")
 
+    # fused Pallas recovery (extract planes -> derotate+MF kernel)
+    try:
+        from liquiddsp_tpu.kernels.recover import recover_symbols_planes
+        from liquiddsp_tpu.phy.framesync import _candidate_taps30
+
+        fused_fn = jax.jit(
+            lambda a, d: recover_symbols_planes(
+                *extract_windows(a, d.start, n_win, return_planes=True),
+                d.dphi, d.phi, d.gamma, _candidate_taps30(d, True),
+                spec.frame_syms,
+            )
+        )
+        dt = timeit(fused_fn, x, det)
+        results["recover_fused"] = dt
+        print(f"{'  recover_fused':24s} {dt*1e3:8.2f} ms (extract+derot+MF)")
+    except Exception as e:  # noqa: BLE001
+        print(f"{'  recover_fused':24s} FAILED: {str(e)[:120]}")
+
     # full framesync
     full = jax.jit(lambda a: framesync_fixed(a, cfg, max_frames=max_frames).payload_valid.sum())
     dt = timeit(full, x)
