@@ -90,81 +90,6 @@ def _run_recover(wr, wi, dphi, phi, ig, taps, *, interpret: bool):
     )(wr, wi, dphi, phi, ig, taps)
 
 
-def _eq_apply_kernel(qr, qi, wr, wi, zr_o, zi_o, *, nd: int, l: int):
-    """Per-candidate complex FIR: z[n] = sum_t w[t] * q[n + L-1-t], all K
-    candidates of one batch row vectorized on the sublane axis. ``q`` is the
-    symbol stream pre-padded by L-1-c lanes (framesync._eq_apply indexing:
-    z[n] = sum_t w[t] * syms[n + c - t])."""
-    a_r = qr[0]  # [K, nd]
-    a_i = qi[0]
-    tw_r = wr[0]  # [K, Lpad]
-    tw_i = wi[0]
-    zr = None
-    zi = None
-    for t in range(l):
-        s = l - 1 - t
-        br = pltpu.roll(a_r, nd - s, axis=1) if s else a_r
-        bi = pltpu.roll(a_i, nd - s, axis=1) if s else a_i
-        cr = tw_r[:, t : t + 1]
-        ci = tw_i[:, t : t + 1]
-        pr = br * cr - bi * ci
-        pi = bi * cr + br * ci
-        zr = pr if zr is None else zr + pr
-        zi = pi if zi is None else zi + pi
-    zr_o[0] = zr
-    zi_o[0] = zi
-
-
-@functools.partial(jax.jit, static_argnames=("l", "interpret"))
-def _run_eq_apply(qr, qi, wr, wi, *, l: int, interpret: bool):
-    b, k, nd = qr.shape
-    lpad = wr.shape[-1]
-    qspec = pl.BlockSpec((1, k, nd), lambda bi: (bi, 0, 0))
-    wspec = pl.BlockSpec((1, k, lpad), lambda bi: (bi, 0, 0))
-    kernel = functools.partial(_eq_apply_kernel, nd=nd, l=l)
-    oshape = jax.ShapeDtypeStruct((b, k, nd), jnp.float32)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[qspec, qspec, wspec, wspec],
-        out_specs=[qspec, qspec],
-        out_shape=[oshape, oshape],
-        interpret=interpret,
-    )(qr, qi, wr, wi)
-
-
-def eq_apply_fused(
-    w: jax.Array, syms: jax.Array, n_out: int, interpret: bool = False
-) -> jax.Array:
-    """Fused equalizer application (framesync._eq_apply semantics):
-    z[n] = sum_t w[t] * syms[n + c - t] for n < n_out, c = L//2.
-
-    w: [B, K, L] complex taps; syms: [B, K, n] complex. The XLA formulation
-    (L shifted complex slices) follows the same slow pattern the matched
-    filter had; here the shifts are in-VMEM lane rolls over all K candidates
-    at once."""
-    l = w.shape[-1]
-    c = l // 2
-    b, k, n = syms.shape
-    nd = -(-(n_out + l) // 128) * 128
-    lead = [(0, 0)] * (syms.ndim - 1)
-    back = nd - (l - 1 - c) - n
-    q = jnp.pad(syms, lead + [(l - 1 - c, max(back, 0))])
-    if back < 0:
-        q = q[..., :nd]
-    qr = jnp.real(q).astype(jnp.float32)
-    qi = jnp.imag(q).astype(jnp.float32)
-    lpad = -(-l // 8) * 8
-    wp = jnp.pad(w, lead + [(0, lpad - l)])
-    zr, zi = _run_eq_apply(
-        qr, qi,
-        jnp.real(wp).astype(jnp.float32),
-        jnp.imag(wp).astype(jnp.float32),
-        l=l, interpret=interpret,
-    )
-    return (zr[..., :n_out] + 1j * zi[..., :n_out]).astype(jnp.complex64)
-
-
 def recover_symbols_planes(
     wr: jax.Array,
     wi: jax.Array,

@@ -464,21 +464,18 @@ def _eq_apply(w: jax.Array, syms: jax.Array, n_out: int | None = None) -> jax.Ar
     ``n_out`` limits the output length (the caller passes a context slice
     ``syms[..., :n_out + c]`` to equalize only a prefix region cheaply).
 
-    On TPU with [B, K, n] operands the L shifted complex slices below run
-    as a fused Pallas pass instead (kernels/recover.eq_apply_fused — same
-    slow-slice pattern the matched filter had)."""
+    Deliberately XLA, not Pallas (measured negative result, r3): an 8-tap
+    shifted-slice FMA fuses fine here — unlike the 30-tap matched filter —
+    and a Pallas version (in-VMEM lane rolls, candidates on sublanes) was
+    cost-neutral standalone but +4 ms in the full pipeline: the pallas_call
+    boundary forces the equalizer's input (the whole upstream symbol
+    fusion) and output to materialize, and XLA re-runs the upstream chain
+    for the pipeline's other consumers of ``syms``."""
     L = EQ_TAPS
     c = L // 2
     n = syms.shape[-1]
     if n_out is None:
         n_out = n
-    backend = _recover_backend()
-    if backend.startswith("fused") and syms.ndim == 3 and w.ndim == 3:
-        from liquiddsp_tpu.kernels.recover import eq_apply_fused
-
-        return eq_apply_fused(
-            w, syms, n_out, interpret=backend == "fused_interpret"
-        )
     lead = [(0, 0)] * (syms.ndim - 1)
     back = max(0, n_out + c - n)
     q = jnp.pad(syms, lead + [(L - 1 - c, back)])  # q[i] = syms[i - (L-1-c)]

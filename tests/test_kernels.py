@@ -164,28 +164,6 @@ class TestRecoverKernel:
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
 
-    def test_eq_apply_fused_matches_xla(self, monkeypatch):
-        import jax.numpy as jnp
-        from liquiddsp_tpu.kernels.recover import eq_apply_fused
-        from liquiddsp_tpu.phy import framesync as fsn
-
-        rng = np.random.default_rng(3)
-        b, k, n = 2, 3, 500
-        syms = (
-            rng.standard_normal((b, k, n)) + 1j * rng.standard_normal((b, k, n))
-        ).astype(np.complex64)
-        w = (
-            rng.standard_normal((b, k, fsn.EQ_TAPS))
-            + 1j * rng.standard_normal((b, k, fsn.EQ_TAPS))
-        ).astype(np.complex64) * 0.3
-        monkeypatch.setenv("LIQUIDDSP_RECOVER_BACKEND", "xla")
-        for n_out in (n, 244):
-            ref = np.asarray(fsn._eq_apply(jnp.asarray(w), jnp.asarray(syms), n_out))
-            got = np.asarray(
-                eq_apply_fused(jnp.asarray(w), jnp.asarray(syms), n_out, interpret=True)
-            )
-            np.testing.assert_allclose(got, ref, atol=2e-5 * np.abs(ref).max())
-
     def test_framesync_fused_interpret_decodes_same(self, monkeypatch):
         """End-to-end: framesync_fixed with the fused recovery backend
         decodes the same frames, bit-exactly, as the XLA backend."""

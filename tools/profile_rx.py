@@ -231,19 +231,22 @@ def main():
     from liquiddsp_tpu.phy.framesync import _eq_train, _eq_apply, EQ_TAPS
     from liquiddsp_tpu.ops import msequence as mseq
 
-    pre_ref = jnp.asarray(mseq.preamble_symbols())
-    tr1_fn = jax.jit(lambda s: _eq_train(s, pre_ref))
+    # numpy (not eager-jnp) constants: eager complex arrays are poisoned on
+    # the axon backend and crash constant embedding (CLAUDE.md)
+    pre_ref = np.asarray(mseq.preamble_symbols())
+    tr1_fn = jax.jit(lambda s: _eq_train(s, jnp.asarray(pre_ref)))
     dt = timeit(tr1_fn, syms)
     results["eq_train_preamble"] = dt
     print(f"{'eq_train(preamble)':24s} {dt*1e3:8.2f} ms")
     w1 = tr1_fn(syms)
     jax.block_until_ready(w1)
-    refs244 = jnp.broadcast_to(
-        jnp.concatenate([pre_ref, jnp.zeros(180, jnp.complex64)]),
-        syms.shape[:-1] + (244,),
+    refs244_np = np.concatenate([pre_ref, np.zeros(180, np.complex64)])
+    tr2_fn = jax.jit(
+        lambda s: _eq_train(
+            s, jnp.broadcast_to(jnp.asarray(refs244_np), s.shape[:-1] + (244,))
+        )
     )
-    tr2_fn = jax.jit(lambda s, r: _eq_train(s, r))
-    dt = timeit(tr2_fn, syms, refs244)
+    dt = timeit(tr2_fn, syms)
     results["eq_train_244"] = dt
     print(f"{'eq_train(pre+hdr)':24s} {dt*1e3:8.2f} ms")
     ap_fn = jax.jit(lambda w, s: _eq_apply(w, s))
