@@ -195,7 +195,7 @@ def bench_config(jax, jnp, cfg, snr_db, require_all=True):
     }
 
 
-def bench_streaming(jax, jnp, cfg, snr_db, n_chunks=10, chunk_len=1 << 15):
+def bench_streaming(jax, jnp, cfg, snr_db, n_chunks=10, chunk_len=1 << 16):
     """Steady-state streaming RX: StreamingRx.step over ``n_chunks`` carried
     chunks (overlap-save boundary handling, runtime/stream.py) — the
     continuous-operation shape of BASELINE config 5 (ref chunk contract at

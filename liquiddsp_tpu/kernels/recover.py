@@ -73,16 +73,27 @@ def _recover_kernel(wr, wi, dphi, phi, ig, taps, yr_o, yi_o, *, nd: int):
     yi_o[0] = yi
 
 
+KT = 40  # candidates per grid step (bounds per-step VMEM: the kernel's
+# live [KT, nd] f32 temporaries must fit the 16 MB scoped-vmem limit at
+# any block size — an unsplit K=69 x nd=1152 step measured 16.15 MB)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _run_recover(wr, wi, dphi, phi, ig, taps, *, interpret: bool):
     b, k, nd = wr.shape
-    wspec = pl.BlockSpec((1, k, nd), lambda bi: (bi, 0, 0))
-    sspec = lambda n: pl.BlockSpec((1, k, n), lambda bi: (bi, 0, 0))
+    kt = min(k, KT)
+    if k % kt:
+        pad = kt - k % kt
+        grow = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        wr, wi, dphi, phi, ig, taps = map(grow, (wr, wi, dphi, phi, ig, taps))
+        k = k + pad
+    wspec = pl.BlockSpec((1, kt, nd), lambda bi, ki: (bi, ki, 0))
+    sspec = lambda n: pl.BlockSpec((1, kt, n), lambda bi, ki: (bi, ki, 0))
     kernel = functools.partial(_recover_kernel, nd=nd)
     oshape = jax.ShapeDtypeStruct((b, k, nd), jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, k // kt),
         in_specs=[wspec, wspec, sspec(1), sspec(1), sspec(1), sspec(32)],
         out_specs=[wspec, wspec],
         out_shape=[oshape, oshape],
@@ -121,6 +132,8 @@ def recover_symbols_planes(
         taps,
         interpret=interpret,
     )
+    yr = yr[:, :k]  # drop KT-tile padding rows
+    yi = yi[:, :k]
     y = (yr[..., 0 : 2 * n_syms : 2] + 1j * yi[..., 0 : 2 * n_syms : 2]).astype(
         jnp.complex64
     )
