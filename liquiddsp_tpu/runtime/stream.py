@@ -74,6 +74,16 @@ class StreamingRx:
                 frame_samples=self.frame_samples,
             )
         )
+        self._superstep = jax.jit(
+            functools.partial(
+                _stream_superstep,
+                cfg=cfg,
+                max_frames=self.max_frames,
+                threshold=threshold,
+                frame_samples=self.frame_samples,
+                chunk_len=chunk_len,
+            )
+        )
 
     def reset(self) -> None:
         """Zero the carry and stream position (a new stream on the same
@@ -94,15 +104,59 @@ class StreamingRx:
         self._samples_consumed += self.chunk_len
         return res
 
-    def run(self, stream: np.ndarray | jax.Array) -> list[FrameResults]:
-        """Convenience: chop [B, T] into chunks (zero-padding the tail)."""
+    def superstep(self, chunks: jax.Array) -> FrameResults:
+        """Process N chunks in ONE device dispatch.
+
+        The per-chunk overlap carry becomes a ``lax.scan`` carry so the whole
+        multi-chunk window sweep compiles to a single program — amortizing the
+        per-launch dispatch cost of the tunneled backend (~1.4 ms/launch,
+        bench/PROFILE.json ``null_dispatch``) over N chunks instead of paying
+        it per chunk. Semantics are identical to N sequential :meth:`step`
+        calls, including the exactly-once straddle contract (a frame starting
+        in the last F-1 samples of chunk i is decoded in chunk i+1's window).
+
+        Args:
+          chunks: ``[B, N, chunk_len]`` (or ``[B, N*chunk_len]``, reshaped).
+
+        Returns:
+          FrameResults stacked on a leading chunk axis — every field is
+          ``[N, B, K, ...]``; ``start`` is the absolute stream sample index.
+        """
+        if chunks.ndim == 2:
+            b, t = chunks.shape
+            assert t % self.chunk_len == 0, (t, self.chunk_len)
+            chunks = chunks.reshape(b, t // self.chunk_len, self.chunk_len)
+        assert chunks.shape[0] == self.batch and chunks.shape[2] == self.chunk_len
+        n = chunks.shape[1]
+        base = jnp.int32(self._samples_consumed - self.overlap)
+        res, self._carry = self._superstep(self._carry, chunks, base)
+        self._samples_consumed += n * self.chunk_len
+        return res
+
+    def run(
+        self, stream: np.ndarray | jax.Array, chunks_per_launch: int = 1
+    ) -> list[FrameResults]:
+        """Convenience: chop [B, T] into chunks (zero-padding the tail).
+
+        ``chunks_per_launch > 1`` routes groups of chunks through
+        :meth:`superstep` (one dispatch per group) and unstacks the result —
+        same list-of-per-chunk-FrameResults contract either way."""
         b, t = stream.shape
-        out = []
+        chunks = []
         for pos in range(0, t, self.chunk_len):
             chunk = stream[:, pos : pos + self.chunk_len]
             if chunk.shape[1] < self.chunk_len:
                 chunk = jnp.pad(chunk, ((0, 0), (0, self.chunk_len - chunk.shape[1])))
-            out.append(self.step(jnp.asarray(chunk)))
+            chunks.append(jnp.asarray(chunk))
+        out: list[FrameResults] = []
+        if chunks_per_launch <= 1:
+            for c in chunks:
+                out.append(self.step(c))
+            return out
+        for g in range(0, len(chunks), chunks_per_launch):
+            group = chunks[g : g + chunks_per_launch]
+            stacked = self.superstep(jnp.stack(group, axis=1))
+            out.extend(split_results(stacked, len(group)))
         return out
 
 
@@ -122,3 +176,34 @@ def _stream_step(carry, chunk, base, *, cfg, max_frames, threshold, frame_sample
     )
     new_carry = window[:, -(frame_samples - 1):]
     return res, new_carry
+
+
+def _stream_superstep(
+    carry, chunks, base0, *, cfg, max_frames, threshold, frame_samples, chunk_len
+):
+    """N chunks per launch: the overlap buffer rides as the scan carry.
+
+    ``chunks`` is [B, N, L]; the scan body is exactly ``_stream_step`` so the
+    scanned path and the per-chunk path are the same program by construction
+    (tests/test_runtime.py pins equality). XLA compiles the body once and
+    loops on-device — one dispatch for the whole group."""
+
+    def body(c, chunk):
+        buf, base = c
+        res, new_buf = _stream_step(
+            buf, chunk, base, cfg=cfg, max_frames=max_frames,
+            threshold=threshold, frame_samples=frame_samples,
+        )
+        return (new_buf, base + chunk_len), res
+
+    (new_carry, _), res = jax.lax.scan(
+        body, (carry, base0), jnp.swapaxes(chunks, 0, 1)
+    )
+    return res, new_carry
+
+
+def split_results(stacked: FrameResults, n: int) -> list[FrameResults]:
+    """Unstack a [N, B, K, ...] superstep result into N per-chunk results.
+
+    Pure device-side indexing (lazy slices) — no host transfer."""
+    return [jax.tree.map(lambda a, i=i: a[i], stacked) for i in range(n)]

@@ -66,6 +66,81 @@ class TestStreamingRx:
             assert p_got == bytes(p_want)
 
 
+class TestSuperstep:
+    """Device-side multi-chunk scan (StreamingRx.superstep): one dispatch per
+    N chunks must be semantically identical to N sequential step() calls —
+    including the exactly-once straddle contract."""
+
+    def _make_stream(self, chunk, n_chunks, seed=9):
+        rng = np.random.default_rng(seed)
+        payloads = rng.integers(0, 256, (4, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), QPSK_CFG))
+        f = frames.shape[1]
+        stream = np.zeros((1, n_chunks * chunk), dtype=np.complex64)
+        # one frame straddling every internal chunk boundary + one interior
+        starts = [chunk * (i + 1) - f // 2 for i in range(n_chunks - 1)] + [300]
+        for s, fr in zip(starts, frames):
+            stream[0, s : s + f] = fr
+        return stream, starts, payloads, f
+
+    def test_superstep_matches_per_chunk_path(self):
+        chunk, n = 2048, 4
+        stream, starts, payloads, f = self._make_stream(chunk, n)
+        rx_a = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        per_chunk = rx_a.run(stream)
+        rx_b = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        scanned = rx_b.run(stream, chunks_per_launch=n)
+        assert len(per_chunk) == len(scanned) == n
+        for a, b in zip(per_chunk, scanned):
+            for fld in ("mask", "header_valid", "payload_valid", "start",
+                        "payload", "modulation", "payload_len"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)), err_msg=fld
+                )
+
+    def test_superstep_exactly_once_straddles(self):
+        chunk, n = 2048, 4
+        stream, starts, payloads, f = self._make_stream(chunk, n)
+        rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        res = rx.superstep(jnp.asarray(stream))  # [N, B, K] stacked
+        mask = np.asarray(res.mask)
+        assert mask.sum() == len(starts)
+        got = {}
+        for i in range(n):
+            for k in np.nonzero(mask[i, 0])[0]:
+                s = int(np.asarray(res.start)[i, 0, k])
+                assert bool(np.asarray(res.payload_valid)[i, 0, k])
+                got[s] = bytes(np.asarray(res.payload)[i, 0, k])
+        for s, p in zip(starts, payloads):
+            key = min(got, key=lambda g: abs(g - s))
+            assert abs(key - s) <= 1
+            assert got[key] == bytes(p)
+
+    def test_superstep_carry_continues_across_launches(self):
+        """A frame straddling the boundary BETWEEN two superstep launches is
+        decoded exactly once, in the second launch."""
+        chunk, n = 2048, 2
+        rng = np.random.default_rng(11)
+        payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
+        frame = np.asarray(framegen.framegen(jnp.asarray(payload), QPSK_CFG))
+        f = frame.shape[1]
+        total = 2 * n * chunk
+        stream = np.zeros((1, total), dtype=np.complex64)
+        s = n * chunk - f // 2  # straddles the launch boundary
+        stream[0, s : s + f] = frame
+        rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        r1 = rx.superstep(jnp.asarray(stream[:, : n * chunk]))
+        r2 = rx.superstep(jnp.asarray(stream[:, n * chunk :]))
+        n1 = int(np.asarray(r1.mask).sum())
+        n2 = int(np.asarray(r2.mask).sum())
+        assert (n1, n2) == (0, 1)
+        i, _, k = np.nonzero(np.asarray(r2.mask))
+        assert abs(int(np.asarray(r2.start)[i[0], 0, k[0]]) - s) <= 1
+        np.testing.assert_array_equal(
+            np.asarray(r2.payload)[i[0], 0, k[0]], payload[0]
+        )
+
+
 class TestBlocks:
     def test_flex_tx_emits_frames_and_reconfigures(self):
         bus = MessageBus()
