@@ -104,25 +104,27 @@ def _fused_kernel(
     k3 = dot(ar, m3)  # m3 = Mi - Mr
     cr = k1 - k2
     ci = k1 + k3
-    # energy: squares in f32 (bf16 squares would double the rounding), then
-    # one matmul against the 0/1 Toeplitz (exact in any dtype)
+    # energy: squares in f32 (bf16 squares would double the rounding); the
+    # cast back to the matmul dtype before the 0/1-Toeplitz contraction is
+    # the accepted per-term bf16 rounding (pinned at rtol 2e-2 in tests) —
+    # the matmul itself accumulates in f32
     arf = ar.astype(jnp.float32)
     aif = ai.astype(jnp.float32)
     en = dot((arf * arf + aif * aif).astype(dt), em)  # [NBT, L]
     mag2 = cr * cr + ci * ci  # [NBT, F*L]
     # max/argmax over templates via F static lane slices
-    m2 = mag2[:, :l]
-    fb = jnp.zeros_like(m2)
+    mbest = mag2[:, :l]
+    fb = jnp.zeros_like(mbest)
     cbr = cr[:, :l]
     cbi = ci[:, :l]
     for fi in range(1, f):
         sl = mag2[:, fi * l : (fi + 1) * l]
-        upd = sl > m2
-        m2 = jnp.where(upd, sl, m2)
+        upd = sl > mbest
+        mbest = jnp.where(upd, sl, mbest)
         fb = jnp.where(upd, float(fi), fb)
         cbr = jnp.where(upd, cr[:, fi * l : (fi + 1) * l], cbr)
         cbi = jnp.where(upd, ci[:, fi * l : (fi + 1) * l], cbi)
-    rho_o[0] = m2 * inv_es / jnp.maximum(en, 1e-12)
+    rho_o[0] = mbest * inv_es / jnp.maximum(en, 1e-12)
     fb_o[0] = fb
     cre_o[0] = cbr
     cim_o[0] = cbi

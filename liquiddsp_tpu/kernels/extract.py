@@ -153,6 +153,14 @@ def extract_windows(
             xr, xi, q, r, n_out=n_out, n_dma=n_dma, interpret=interpret
         )
         if return_planes:
+            if n_out != n:
+                # honor the documented zero tail: the aligned DMA superset
+                # leaves trailing stream samples in [n, n_out) — mask them so
+                # the Pallas and XLA planes agree exactly (one multiply, fused
+                # into the consumer by XLA)
+                keep = (jnp.arange(n_out) < n).astype(jnp.float32)
+                outr = outr * keep
+                outi = outi * keep
             return outr, outi
         return (outr[..., :n] + 1j * outi[..., :n]).astype(jnp.complex64)
     w = extract_windows_xla(x, starts, n)

@@ -73,15 +73,26 @@ def _recover_kernel(wr, wi, dphi, phi, ig, taps, yr_o, yi_o, *, nd: int):
     yi_o[0] = yi
 
 
-KT = 40  # candidates per grid step (bounds per-step VMEM: the kernel's
-# live [KT, nd] f32 temporaries must fit the 16 MB scoped-vmem limit at
-# any block size — an unsplit K=69 x nd=1152 step measured 16.15 MB)
+# Per-step VMEM scales with kt * nd (live [kt, nd] f32 temporaries + roll
+# scratch + double-buffering). Empirical coefficient: an unsplit K=69 x
+# nd=1152 step measured 16.15 MB -> ~204 bytes per candidate-sample. The
+# tile is derived from a budget on kt*nd so long-frame configs (nd up to
+# ~4480 at SFO_AUTO_SYMS) shrink the tile instead of blowing the 16 MB
+# scoped-vmem limit at Mosaic compile time.
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative vs the 16 MB scoped-vmem limit
+BYTES_PER_CAND_SAMPLE = 204  # measured, see above
+
+
+def _candidate_tile(k: int, nd: int) -> int:
+    kt = VMEM_BUDGET // (BYTES_PER_CAND_SAMPLE * nd)
+    kt = max(8, (kt // 8) * 8)  # sublane multiple; >=8 keeps VPU rows full
+    return min(k, kt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _run_recover(wr, wi, dphi, phi, ig, taps, *, interpret: bool):
     b, k, nd = wr.shape
-    kt = min(k, KT)
+    kt = _candidate_tile(k, nd)
     if k % kt:
         pad = kt - k % kt
         grow = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
