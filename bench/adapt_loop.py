@@ -90,13 +90,14 @@ def _loop(args, jax, jnp, timed: bool):
         seed=args.seed,
     )
     rng = np.random.default_rng(args.seed)
-    t_txch = t_rx = t_ce = 0.0
-    n_packets = 0
-    n_valid = 0
+    state = {"t_txch": 0.0, "t_rx": 0.0, "t_ce": 0.0,
+             "n_packets": 0, "n_valid": 0}
     b = args.batch
     cfgs = [(1, 0, 0)] * b  # per-channel (mod, inner, outer)
-    t_all0 = time.perf_counter()
-    for it in range(args.iters):
+
+    def dispatch(it):
+        """TX assemble + channel + sync dispatch for one generation using
+        the CURRENT cfgs; returns (sync handle, the cfgs commanded)."""
         payloads_h = rng.integers(0, 256, (b, args.payload_len), dtype=np.uint8)
         snr_db = args.snr
         if args.dynamic:
@@ -125,8 +126,20 @@ def _loop(args, jax, jnp, timed: bool):
         xcat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
         inv = np.argsort(np.asarray(order))
         x = xcat[jnp.asarray(inv)]  # back to channel order
+        handle = rx.work_submit(x)
+        state["t_txch"] += time.perf_counter() - t0
+        return handle, list(cfgs)
+
+    def complete(handle, cfgs_used):
+        """Fetch + decode one generation's sync results and feed the engine.
+
+        ``cfgs_used`` is the config each channel was COMMANDED for this
+        generation — in pipelined mode that differs from the current cfgs
+        (feedback is one generation delayed), and lost frames must report
+        failure on the commanded config."""
+        nonlocal cfgs
         t1 = time.perf_counter()
-        infos = rx.work(x)
+        infos = rx.work_complete(handle)
         t2 = time.perf_counter()
         # per-channel feedback: decoded frames report their own (header-
         # decoded) config; lost frames report failure on the commanded
@@ -141,9 +154,9 @@ def _loop(args, jax, jnp, timed: bool):
                 fb = {k: info[k] for k in
                       ("header_valid", "payload_valid", "modulation",
                        "inner_code", "outer_code")}
-                n_valid += info["payload_valid"]
+                state["n_valid"] += info["payload_valid"]
             else:
-                m, i, o = cfgs[ch]
+                m, i, o = cfgs_used[ch]
                 fb = {"header_valid": 0, "payload_valid": 0,
                       "modulation": m, "inner_code": i, "outer_code": o}
             d = ce.handler(fb)
@@ -151,21 +164,42 @@ def _loop(args, jax, jnp, timed: bool):
                 nxt[ch] = (d["modulation"], d["inner_code"], d["outer_code"])
         cfgs = nxt
         t3 = time.perf_counter()
-        t_txch += t1 - t0
-        t_rx += t2 - t1
-        t_ce += t3 - t2
-        n_packets += b
+        state["t_rx"] += t2 - t1
+        state["t_ce"] += t3 - t2
+        state["n_packets"] += b
+
+    t_all0 = time.perf_counter()
+    if args.pipeline:
+        # one-generation software pipeline: generation N+1's TX + sync are
+        # dispatched BEFORE generation N's packed fetch, so the blocking
+        # device round trip of N overlaps N+1's on-device compute. The
+        # engine's feedback is one generation delayed — the arm-update
+        # protocol is unchanged (every packet's outcome is played exactly
+        # once, against its commanded config), matching the real-radio
+        # situation where ACK latency exceeds the packet interval.
+        pending = None
+        for it in range(args.iters):
+            nxt = dispatch(it)
+            if pending is not None:
+                complete(*pending)
+            pending = nxt
+        complete(*pending)
+    else:
+        for it in range(args.iters):
+            complete(*dispatch(it))
     wall = time.perf_counter() - t_all0
     return {
-        "packets": n_packets,
-        "payload_valid": n_valid,
+        "packets": state["n_packets"],
+        "payload_valid": state["n_valid"],
         "wall_s": wall,
-        "packets_per_sec": n_packets / wall,
-        "stage_s": {"tx_channel": t_txch, "rx": t_rx, "engine": t_ce},
+        "packets_per_sec": state["n_packets"] / wall,
+        "pipeline": bool(args.pipeline),
+        "stage_s": {"tx_channel": state["t_txch"], "rx": state["t_rx"],
+                    "engine": state["t_ce"]},
         "configs_visited": len({r.config_id for r in ce.store.rx_log}),
         "final_configs": sorted(set(cfgs)),
         "block_samples": t_block,
-        "samples_per_sec": n_packets * t_block / wall,
+        "samples_per_sec": state["n_packets"] * t_block / wall,
     }
 
 
@@ -177,6 +211,9 @@ def main():
     ap.add_argument("--snr", type=float, default=15.0)
     ap.add_argument("--dynamic", action="store_true",
                     help="reference dynamic-noise schedule instead of fixed SNR")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="one-generation software pipeline: overlap gen N+1 "
+                         "device work with gen N feedback (delayed feedback)")
     ap.add_argument("--payload-len", type=int, default=32)
     ap.add_argument("--ce", default="epsilon_greedy")
     ap.add_argument("--seed", type=int, default=0)
@@ -215,6 +252,15 @@ def main():
     # otherwise the timed pass contains compiles
     assert timed["configs_visited"] == warm["configs_visited"], (
         timed["configs_visited"], warm["configs_visited"])
+    unpiped = None
+    if args.pipeline:
+        # comparison point: same seeds/protocol without the software pipeline
+        import copy
+
+        a2 = copy.copy(args)
+        a2.pipeline = False
+        _loop(a2, jax, jnp, timed=False)  # warm that mode's decision path
+        unpiped = _loop(a2, jax, jnp, timed=True)
     result = {
         "metric": "adapt_loop_packets_per_sec",
         "value": timed["packets_per_sec"],
@@ -225,9 +271,13 @@ def main():
         "dynamic": args.dynamic,
         "ce_type": args.ce,
         "payload_len": args.payload_len,
+        "pipeline": bool(args.pipeline),
         "device": str(jax.devices()[0]),
         "detail": timed,
     }
+    if unpiped is not None:
+        result["unpipelined_packets_per_sec"] = unpiped["packets_per_sec"]
+        result["unpipelined_detail"] = unpiped
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as fh:

@@ -203,9 +203,29 @@ class FlexRx:
         adaptation loop is otherwise host-dispatch-bound (the reference's
         per-packet callback loop, lib/flex_rx_impl.cc:203-253, is sequential
         by construction; this is its block-dense analog)."""
+        return self.work_complete(self.work_submit(x))
+
+    def work_submit(self, x):
+        """Dispatch the sync program for a block WITHOUT waiting — returns an
+        opaque handle for :meth:`work_complete`. Splitting submit/complete
+        lets a closed-loop driver overlap generation N+1's device work with
+        generation N's host-side feedback processing (bench/adapt_loop.py
+        --pipeline): the blocking packed-sync fetch then rides on top of the
+        next generation's compute instead of serializing with it."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
         syms, evm_lin, packed = sync(x)
+        try:  # start the device->host copy early (overlaps remaining compute)
+            packed.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — optional fast path only
+            pass
+        return syms, evm_lin, packed
+
+    def work_complete(self, handle) -> list[dict]:
+        """Finish a :meth:`work_submit` block: fetch the packed sync planes,
+        batch-decode payloads per header config, publish ports, return
+        packet_info dicts."""
+        syms, evm_lin, packed = handle
         P = np.asarray(packed)  # [10, B, K] — the block's ONLY sync fetch
         mask = P[0] > 0.5
         hdr_valid = P[1] > 0.5
@@ -244,6 +264,12 @@ class FlexRx:
 
         K = mask.shape[1]
         n_flat = mask.shape[0] * K
+        # dispatch EVERY group's decode before fetching ANY result, with
+        # async host copies started as soon as each dispatch lands — the
+        # transfers then overlap each other and the remaining device work
+        # (one round-trip of latency for the whole block instead of one per
+        # config group; the tunneled backend charges ~ms per blocking fetch)
+        pending = []
         for (m, i, o, pl), slots in groups.items():
             g = len(slots)
             g_pad = 1 << (g - 1).bit_length()  # power-of-2 bucket
@@ -251,11 +277,16 @@ class FlexRx:
                 [b * K + k for b, k in slots] + [slots[0][0] * K + slots[0][1]] * (g_pad - g),
                 dtype=np.int32,
             )
-            out = np.asarray(
-                _payload_program(m, i, o, pl, n_flat, g_pad)(
-                    syms, evm_lin, flat_idx
-                )[:g]
-            )  # one dispatch + one transfer per group
+            dev = _payload_program(m, i, o, pl, n_flat, g_pad)(
+                syms, evm_lin, flat_idx
+            )
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — optional fast path only
+                pass
+            pending.append(((m, i, o, pl), slots, g, dev))
+        for (m, i, o, pl), slots, g, dev in pending:
+            out = np.asarray(dev)[:g]
             payloads = out[:, :-1]
             crc_ok = out[:, -1] != 0
             for j, (b, k) in enumerate(slots):
