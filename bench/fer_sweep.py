@@ -44,44 +44,101 @@ import numpy as np
 CONFIGS = [
     (0, 0, 0, "bpsk", None),
     (1, 0, 0, "qpsk", None),
+    (1, 1, 0, "qpsk_v27", None),
     (1, 1, 1, "qpsk_v27_golay", None),
     (1, 6, 0, "qpsk_p78", None),
     (5, 1, 0, "dqpsk_v27", None),
+    (8, 0, 0, "qam16", None),
     (8, 1, 2, "qam16_v27_rs", None),
     (10, 0, 0, "qam64", None),
     (10, 2, 3, "qam64_p23_h74", None),
     (0, 1, 1, "bpsk_v27_golay_long_sfo40", "sfo40"),
     (1, 0, 0, "qpsk_multipath", "multipath"),
+    # per-frame-tracker scope boundary rows (docs/ARCHITECTURE.md:108-141):
+    # Rayleigh flat fading at two coherence times — ~2x the frame length
+    # (near-static: the per-frame gamma/phase fit still holds) and ~0.5x
+    # (the documented scope cut: gain/phase move WITHIN the frame) — plus a
+    # +-30% linear amplitude ramp across the frame (pure static-gain
+    # violation, no phase dynamics)
+    (1, 0, 0, "qpsk_fading_tc2.0", "fading2.0"),
+    (1, 0, 0, "qpsk_fading_tc0.5", "fading0.5"),
+    (1, 0, 0, "qpsk_ramp30", "ramp"),
 ]
 
 SNR_GRID = [0.0, 2.5, 5.0, 7.5, 10.0, 12.5, 15.0, 20.0, 25.0, 30.0]
 BLOCK = 4096
 
 
+def _qfunc(x: float) -> float:
+    import math
+
+    return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+
 def theory_uncoded_fer(modulation: int, payload_len: int, snr_db: float) -> float:
-    """Closed-form AWGN frame-error rate for UNCODED BPSK/QPSK payloads —
-    the waterfall-position anchor (BASELINE.md:27 correctness contract).
+    """Closed-form AWGN frame-error rate for UNCODED BPSK/QPSK/QAM16/QAM64
+    payloads — the waterfall-position anchor (BASELINE.md:27 contract).
 
     SNR here is the per-sample SNR of the sweep's noise model (noise var
     p_sig/10^(snr/10) per complex sample); with k=2 samples/symbol and a
-    matched filter, Es/N0 = k * snr_lin. Gray mapping makes bit errors
-    independent to first order: FER = 1 - (1-pb)^n_bits over the
-    payload+CRC24 bits (any bit error fails the CRC/bit-exactness check).
+    matched filter, Es/N0 = k * snr_lin. The payload is bit-exact iff NO
+    payload symbol is in error (any symbol error flips >= 1 Gray bit and
+    fails the CRC/bit-exactness check), so FER = 1 - (1 - Ps)^n_syms with
+    the EXACT symbol-error rate Ps per constellation:
 
-    BPSK: pb = Q(sqrt(2 Es/N0)); QPSK: pb = Q(sqrt(Es/N0)).
+    - BPSK:  Ps = Q(sqrt(2 Es/N0))
+    - QPSK:  Ps = 1 - (1 - Q(sqrt(Es/N0)))^2      (independent Gray I/Q)
+    - square M-QAM (16/64, per-axis Gray PAM as built by ops/modem.py):
+      p_axis = 2 (1 - 1/sqrt(M)) Q(sqrt(3 Es/N0 / (M-1)));
+      Ps = 1 - (1 - p_axis)^2
     """
     import math
 
+    from liquiddsp_tpu.core.config import MOD_BPS
+
     es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)  # k = fs.K_SAMP = 2
     if modulation == 0:  # BPSK
-        arg = math.sqrt(2.0 * es_n0)
+        ps = _qfunc(math.sqrt(2.0 * es_n0))
     elif modulation == 1:  # QPSK
-        arg = math.sqrt(es_n0)
+        ps = 1.0 - (1.0 - _qfunc(math.sqrt(es_n0))) ** 2
+    elif modulation in (8, 10):  # square QAM16 / QAM64
+        m_pts = 1 << MOD_BPS[modulation]
+        p_axis = (
+            2.0
+            * (1.0 - 1.0 / math.sqrt(m_pts))
+            * _qfunc(math.sqrt(3.0 * es_n0 / (m_pts - 1)))
+        )
+        ps = 1.0 - (1.0 - p_axis) ** 2
     else:
-        raise ValueError("theory anchor covers uncoded BPSK/QPSK only")
-    pb = 0.5 * math.erfc(arg / math.sqrt(2.0))
+        raise ValueError("theory anchor covers uncoded BPSK/QPSK/QAM16/QAM64")
     n_bits = 8 * (payload_len + 3)  # payload + CRC-24
-    return 1.0 - (1.0 - pb) ** n_bits
+    n_syms = -(-n_bits // MOD_BPS[modulation])
+    return 1.0 - (1.0 - ps) ** n_syms
+
+
+# Distance spectrum of the K=7 rate-1/2 (171,133) convolutional code (V27):
+# a_d = number of error events at Hamming distance d, d = 10, 12, ..., 22
+# (standard published spectrum; dfree = 10).
+_V27_AD = {10: 11, 12: 38, 14: 193, 16: 1331, 18: 7275, 20: 40406, 22: 234969}
+
+
+def theory_v27_fer_ub(payload_len: int, snr_db: float) -> float:
+    """Union upper bound on the soft-decision V27 frame-error rate over
+    QPSK — the coded-row position anchor.
+
+    Each QPSK symbol carries 2 coded bits at energy Es/2, so the per-coded-
+    bit SNR is gamma_c = (Es/N0)/2 and the soft pairwise error at distance
+    d is P2(d) = Q(sqrt(2 d gamma_c)) = Q(sqrt(d Es/N0)). A frame fails if
+    any of ~L trellis steps starts an error event:
+    FER <= L * sum_d a_d P2(d). A true upper bound (tight within a few x
+    below FER ~ 0.1); the test asserts measured <= bound + sampling slack.
+    """
+    import math
+
+    es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)
+    l_info = 8 * (payload_len + 3)
+    s = sum(a * _qfunc(math.sqrt(d * es_n0)) for d, a in _V27_AD.items())
+    return min(1.0, l_info * s)
 
 
 _PROGRAMS = {}
@@ -139,6 +196,37 @@ def _trial_program(jax, jnp, cfg, trials, payload_len, impair=None):
             )
             echo = jnp.pad(x[:, :-2], ((0, 0), (2, 0)))
             x = x + amp * jnp.exp(1j * th) * echo
+        elif impair is not None and impair.startswith("fading"):
+            # Rayleigh flat fading, Jakes sum-of-sinusoids (P = 8 rays):
+            # coherence time T_c = tc_frac * frame_samples, i.e. the Doppler
+            # per sample is fd = 0.423 / T_c. The per-frame tracker assumes
+            # h static within a frame (docs/ARCHITECTURE.md:108-141); these
+            # rows measure where that assumption breaks.
+            tc_frac = float(impair[len("fading"):])
+            fd = 0.423 / (tc_frac * f)
+            n_rays = 8
+            ka = jax.random.fold_in(km, 2)
+            alpha = jax.random.uniform(
+                ka, (trials, n_rays), minval=0.0, maxval=2 * np.pi
+            )
+            psi = jax.random.uniform(
+                jax.random.fold_in(ka, 1), (trials, n_rays),
+                minval=0.0, maxval=2 * np.pi,
+            )
+            tt_f = jnp.arange(block, dtype=jnp.float32)
+            arg = (
+                2 * np.pi * fd * jnp.cos(alpha)[:, :, None] * tt_f[None, None, :]
+                + psi[:, :, None]
+            )
+            h = jnp.sum(jnp.exp(1j * arg), axis=1) / np.sqrt(n_rays)
+            x = x * h
+        elif impair == "ramp":
+            # +-30% linear amplitude ramp across the frame (static-gain
+            # violation with no phase dynamics): g goes 0.7 -> 1.3 over the
+            # frame's extent starting at its true offset
+            tt_f = jnp.arange(block, dtype=jnp.float32)
+            g = 1.0 + 0.6 * ((tt_f[None, :] - off[:, None]) / f - 0.5)
+            x = x * g
         # random carrier phase, gain, CFO, fractional delay
         phase = jax.random.uniform(kph, (trials, 1), minval=-np.pi, maxval=np.pi)
         gain = jax.random.uniform(kg, (trials, 1), minval=0.5, maxval=1.5)
@@ -255,9 +343,15 @@ def main():
                 "det_rate": det / args.trials,
                 "hdr_rate": hdr / args.trials,
                 "fer": 1.0 - ok / args.trials,
+                # payload-decode FER conditioned on header acquisition — the
+                # quantity coded-row theory (theory_fer_ub) bounds; the
+                # unconditional fer folds in detection/header outage
+                "fer_given_hdr": (1.0 - ok / hdr) if hdr else None,
             }
-            if inner == 0 and outer == 0 and mod in (0, 1) and impair is None:
+            if inner == 0 and outer == 0 and mod in (0, 1, 8, 10) and impair is None:
                 rec["theory_fer"] = theory_uncoded_fer(mod, args.payload_len, snr)
+            if label == "qpsk_v27":
+                rec["theory_fer_ub"] = theory_v27_fer_ub(args.payload_len, snr)
             records.append(rec)
             print(
                 f"{label:16s} snr={snr:5.1f}  det={rec['det_rate']:.3f} "

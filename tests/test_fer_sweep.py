@@ -77,3 +77,49 @@ class TestTheoryAnchor:
             f"BPSK FER {fer:.4f} at {snr} dB exceeds theory({snr - 1.0} dB)="
             f"{bound:.4f}: implementation loss > 1 dB"
         )
+
+    def test_qam16_within_1db_of_theory(self):
+        """Exact square-QAM SER anchor: catches QAM-only impairments (e.g.
+        an LLR/decision scaling bug) that the BPSK/QPSK anchors cannot see."""
+        from bench.fer_sweep import theory_uncoded_fer
+
+        snr = 15.5  # theory FER ~3e-2 region
+        fer = self._measured(FrameConfig(8, 0, 0, 64), snr, seed=17)
+        bound = theory_uncoded_fer(8, 64, snr - 1.0)
+        assert fer <= bound, (
+            f"QAM16 FER {fer:.4f} at {snr} dB exceeds theory({snr - 1.0} dB)="
+            f"{bound:.4f}: implementation loss > 1 dB"
+        )
+
+    def test_qam64_within_1db_of_theory(self):
+        from bench.fer_sweep import theory_uncoded_fer
+
+        snr = 21.5
+        fer = self._measured(FrameConfig(10, 0, 0, 64), snr, seed=19)
+        bound = theory_uncoded_fer(10, 64, snr - 1.0)
+        assert fer <= bound, (
+            f"QAM64 FER {fer:.4f} at {snr} dB exceeds theory({snr - 1.0} dB)="
+            f"{bound:.4f}: implementation loss > 1 dB"
+        )
+
+    def test_v27_within_union_bound(self):
+        """Coded-row anchor: the soft-Viterbi payload FER, conditioned on
+        header acquisition (detection/header outage is bounded separately by
+        the uncoded anchors), must sit below the (171,133) union bound with
+        1 dB implementation-loss allowance plus small-sample slack. A broken
+        soft metric (e.g. LLR sign/scale) puts the conditional FER near the
+        UNCODED curve — orders of magnitude above the bound."""
+        from bench.fer_sweep import theory_v27_fer_ub
+
+        snr = 2.5
+        det, hdr, ok = run_point(
+            jax, jnp, FrameConfig(1, 1, 0, 64), snr, self.N, seed=23
+        )
+        assert hdr > 0
+        cond_fer = 1.0 - ok / hdr
+        bound = theory_v27_fer_ub(64, snr - 1.0)
+        slack = 4.0 / hdr
+        assert cond_fer <= bound + slack, (
+            f"V27 conditional FER {cond_fer:.4f} at {snr} dB exceeds union "
+            f"bound({snr - 1.0} dB)={bound:.5f} + slack {slack:.4f}"
+        )
