@@ -126,7 +126,15 @@ def _loop(args, jax, jnp, timed: bool):
         xcat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
         inv = np.argsort(np.asarray(order))
         x = xcat[jnp.asarray(inv)]  # back to channel order
-        handle = rx.work_submit(x)
+        # commanded configs are known here — speculative payload decode
+        # removes the second device round trip per generation (blocks.py
+        # work_submit expected_configs)
+        handle = rx.work_submit(
+            x,
+            expected_configs=[
+                (m, i, o, args.payload_len) for (m, i, o) in cfgs
+            ],
+        )
         state["t_txch"] += time.perf_counter() - t0
         return handle, list(cfgs)
 

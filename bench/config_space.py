@@ -49,7 +49,66 @@ def main():
     ap.add_argument("--group", type=int, default=8, help="configs per block")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    # 616 distinct configs = ~1200 per-config compiled programs; one process
+    # holding all of them exhausted 128 GB of host RAM at ~400 configs
+    # (LLVM "Cannot allocate memory" -> SIGSEGV). Shards run as SEQUENTIAL
+    # subprocesses so each releases its compile cache at exit; the parent
+    # merges the partial results.
+    ap.add_argument("--shards", type=int, default=8,
+                    help="run the sweep as N sequential subprocesses")
+    ap.add_argument("--shard-index", type=int, default=-1,
+                    help="(internal) this invocation covers shard i of N")
     args = ap.parse_args()
+
+    if args.shards > 1 and args.shard_index < 0:
+        import subprocess
+        import tempfile
+
+        merged: dict[str, bool] = {}
+        elapsed = 0.0
+        device = None
+        with tempfile.TemporaryDirectory() as td:
+            for i in range(args.shards):
+                part = os.path.join(td, f"part{i}.json")
+                argv = [sys.executable, os.path.abspath(__file__),
+                        "--shard-index", str(i), "--shards", str(args.shards),
+                        "--payload-len", str(args.payload_len),
+                        "--frames-per-config", str(args.frames_per_config),
+                        "--group", str(args.group), "--seed", str(args.seed),
+                        "--out", part]
+                if args.cpu:
+                    argv.append("--cpu")
+                rc = subprocess.call(argv)
+                if rc not in (0, 1):  # 1 = ran but some config failed
+                    print(f"shard {i} crashed rc={rc}", file=sys.stderr)
+                    sys.exit(rc)
+                d = json.load(open(part))
+                merged.update(d["results"])
+                elapsed += d["elapsed_s"]
+                device = d["device"]
+        n_ok = sum(merged.values())
+        bad = sorted(k for k, v in merged.items() if not v)
+        out = {
+            "metric": "config_space_loopback_ok",
+            "value": n_ok,
+            "unit": "configs (of 616)",
+            "frames_per_config": args.frames_per_config,
+            "payload_len": args.payload_len,
+            "snr_rule_db": "18 + 2*bits_per_symbol",
+            "elapsed_s": elapsed,
+            "shards": args.shards,
+            "device": device,
+            "failed_configs": bad,
+            "results": merged,
+        }
+        assert len(merged) == 616, len(merged)
+        print(json.dumps({k: out[k] for k in
+                          ("metric", "value", "unit", "elapsed_s",
+                           "failed_configs")}))
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(out, fh, indent=1)
+        sys.exit(0 if n_ok == 616 else 1)
 
     if args.cpu:
         import jax
@@ -93,6 +152,9 @@ def main():
         for o in range(NUM_OUTER_CODES)
     ]
     assert len(configs) == 616
+    if args.shard_index >= 0:
+        per = -(-len(configs) // args.shards)
+        configs = configs[args.shard_index * per : (args.shard_index + 1) * per]
     maxf = fs.max_frame_spec(plen).frame_samples
     t_block = nf * (maxf + LEAD) + LEAD  # fixed T: ONE sync compile for all
 
@@ -143,7 +205,7 @@ def main():
         if n_blocks % 10 == 0 or done == len(configs):
             n_ok = sum(results.values())
             print(
-                f"{done}/616 configs, {n_ok} ok, "
+                f"{done}/{len(configs)} configs, {n_ok} ok, "
                 f"{time.perf_counter() - t0:.0f}s",
                 file=sys.stderr,
             )
@@ -167,7 +229,7 @@ def main():
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
-    if n_ok != 616:
+    if n_ok != len(configs):
         sys.exit(1)
 
 

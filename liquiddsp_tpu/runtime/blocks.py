@@ -205,13 +205,24 @@ class FlexRx:
         by construction; this is its block-dense analog)."""
         return self.work_complete(self.work_submit(x))
 
-    def work_submit(self, x):
+    def work_submit(self, x, expected_configs=None):
         """Dispatch the sync program for a block WITHOUT waiting — returns an
         opaque handle for :meth:`work_complete`. Splitting submit/complete
         lets a closed-loop driver overlap generation N+1's device work with
         generation N's host-side feedback processing (bench/adapt_loop.py
         --pipeline): the blocking packed-sync fetch then rides on top of the
-        next generation's compute instead of serializing with it."""
+        next generation's compute instead of serializing with it.
+
+        ``expected_configs``: optional per-channel [(mod, inner, outer,
+        payload_len), ...] — the configs the caller COMMANDED (a closed-loop
+        TX knows them). When given, the payload decode for detection slot 0
+        of each channel is dispatched SPECULATIVELY now, before the sync
+        results are read, removing the second device round trip per block.
+        work_complete uses a speculative row only when the decoded header
+        confirms the commanded config and the frame landed in slot 0 (the
+        decode inputs are then identical to the fallback's — same program,
+        same gather index — so results are bit-identical); any other slot
+        falls back to the normal grouped decode."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
         syms, evm_lin, packed = sync(x)
@@ -219,13 +230,35 @@ class FlexRx:
             packed.copy_to_host_async()
         except Exception:  # noqa: BLE001 — optional fast path only
             pass
-        return syms, evm_lin, packed
+        spec = None
+        if expected_configs is not None:
+            K = self.max_frames
+            n_flat = x.shape[0] * K
+            by_cfg: dict[tuple[int, int, int, int], list[int]] = {}
+            for ch, (m, i, o, pl) in enumerate(expected_configs):
+                by_cfg.setdefault((int(m), int(i), int(o), int(pl)), []).append(ch)
+            spec = {}
+            for (m, i, o, pl), chans in by_cfg.items():
+                g_pad = 1 << (len(chans) - 1).bit_length()
+                flat_idx = np.array(
+                    [b * K for b in chans] + [chans[0] * K] * (g_pad - len(chans)),
+                    dtype=np.int32,
+                )
+                dev = _payload_program(m, i, o, pl, n_flat, g_pad)(
+                    syms, evm_lin, flat_idx
+                )
+                try:
+                    dev.copy_to_host_async()
+                except Exception:  # noqa: BLE001
+                    pass
+                spec[(m, i, o, pl)] = (chans, dev)
+        return syms, evm_lin, packed, spec
 
     def work_complete(self, handle) -> list[dict]:
         """Finish a :meth:`work_submit` block: fetch the packed sync planes,
         batch-decode payloads per header config, publish ports, return
         packet_info dicts."""
-        syms, evm_lin, packed = handle
+        syms, evm_lin, packed, spec = handle
         P = np.asarray(packed)  # [10, B, K] — the block's ONLY sync fetch
         mask = P[0] > 0.5
         hdr_valid = P[1] > 0.5
@@ -268,31 +301,61 @@ class FlexRx:
         # async host copies started as soon as each dispatch lands — the
         # transfers then overlap each other and the remaining device work
         # (one round-trip of latency for the whole block instead of one per
-        # config group; the tunneled backend charges ~ms per blocking fetch)
+        # config group; the tunneled backend charges ~ms per blocking fetch).
+        # Slots whose decode was already dispatched speculatively at submit
+        # time (header config == commanded config AND slot 0) reuse that
+        # result — bit-identical inputs — so a fully-confirmed block needs
+        # NO new dispatch here at all.
         pending = []
         for (m, i, o, pl), slots in groups.items():
-            g = len(slots)
-            g_pad = 1 << (g - 1).bit_length()  # power-of-2 bucket
-            flat_idx = np.array(
-                [b * K + k for b, k in slots] + [slots[0][0] * K + slots[0][1]] * (g_pad - g),
-                dtype=np.int32,
-            )
-            dev = _payload_program(m, i, o, pl, n_flat, g_pad)(
-                syms, evm_lin, flat_idx
-            )
-            try:
-                dev.copy_to_host_async()
-            except Exception:  # noqa: BLE001 — optional fast path only
-                pass
-            pending.append(((m, i, o, pl), slots, g, dev))
-        for (m, i, o, pl), slots, g, dev in pending:
-            out = np.asarray(dev)[:g]
-            payloads = out[:, :-1]
-            crc_ok = out[:, -1] != 0
-            for j, (b, k) in enumerate(slots):
-                payload_valid = bool(crc_ok[j])
+            covered: dict[tuple[int, int], tuple] = {}
+            rest = list(slots)
+            if spec and (m, i, o, pl) in spec:
+                chans, sdev = spec[(m, i, o, pl)]
+                row = {ch: j for j, ch in enumerate(chans)}
+                rest = []
+                for b, k in slots:
+                    if k == 0 and b in row:
+                        covered[(b, k)] = (sdev, row[b])
+                    else:
+                        rest.append((b, k))
+            dev = None
+            if rest:
+                g = len(rest)
+                g_pad = 1 << (g - 1).bit_length()  # power-of-2 bucket
+                flat_idx = np.array(
+                    [b * K + k for b, k in rest] + [rest[0][0] * K + rest[0][1]] * (g_pad - g),
+                    dtype=np.int32,
+                )
+                dev = _payload_program(m, i, o, pl, n_flat, g_pad)(
+                    syms, evm_lin, flat_idx
+                )
+                try:
+                    dev.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path only
+                    pass
+            pending.append(((m, i, o, pl), slots, covered, rest, dev))
+        _fetched: dict[int, np.ndarray] = {}
+
+        def _row(dev, j):
+            buf = _fetched.get(id(dev))
+            if buf is None:
+                buf = np.asarray(dev)
+                _fetched[id(dev)] = buf
+            return buf[j]
+
+        for (m, i, o, pl), slots, covered, rest, dev in pending:
+            rest_j = {bk: j for j, bk in enumerate(rest)}
+            for b, k in slots:
+                if (b, k) in covered:
+                    sdev, j = covered[(b, k)]
+                    out_row = _row(sdev, j)
+                else:
+                    out_row = _row(dev, rest_j[(b, k)])
+                payload = out_row[:-1]
+                payload_valid = bool(out_row[-1] != 0)
                 if payload_valid:
-                    self.bus.publish("payload_data", PDU(meta={}, data=payloads[j]))
+                    self.bus.publish("payload_data", PDU(meta={}, data=payload))
                 # framesyncstats_s parity: EVM/RSSI/CFO alongside the config
                 # fields (lib/flex_rx_impl.cc:198, 236-247)
                 info = {
@@ -302,7 +365,7 @@ class FlexRx:
                     "inner_code": i,
                     "outer_code": o,
                     "payload_len": pl,
-                    "payload": payloads[j],
+                    "payload": payload,
                     "evm": float(10.0 * np.log10(max(evm_h[b, k], 1e-12))),
                     "rssi": float(rssi_h[b, k]),
                     "cfo": float(cfo_h[b, k]),

@@ -95,6 +95,28 @@ class TestSampledRoundtrip:
                 err_msg=f"payload mismatch for {(m, i, o)}",
             )
 
+    def test_exhaustive_616_artifact(self):
+        """Tier 4: the committed bench/CONFIG_SPACE.json artifact
+        (bench/config_space.py — >= 2 frames of EVERY config through the
+        production RX, payloads bit-exact) must record 616/616 ok. Turns
+        the sampled tiers above into measured completeness."""
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench", "CONFIG_SPACE.json",
+        )
+        if not os.path.exists(path):
+            pytest.skip("bench/CONFIG_SPACE.json not generated yet")
+        art = json.load(open(path))
+        assert art["value"] == 616, art.get("failed_configs")
+        assert len(art["results"]) == 616
+        assert art["frames_per_config"] >= 2
+        assert all(art["results"].values()), [
+            k for k, v in art["results"].items() if not v
+        ]
+
     def test_full_path_loopback_sampled(self):
         """Full framesync loopback for 4 seeded random configs at 25 dB."""
         rng = np.random.default_rng(77)

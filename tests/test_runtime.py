@@ -227,6 +227,42 @@ class TestBlocks:
             assert d["payload_valid"]
             np.testing.assert_array_equal(np.asarray(d["payload"]), payload)
 
+    def test_flex_rx_speculative_decode_parity(self):
+        """work_submit(expected_configs=...) must return packet_infos
+        identical to the plain path — when the expectation is confirmed,
+        when it is WRONG (falls back to the grouped decode), and when only
+        some channels are covered."""
+        rng = np.random.default_rng(21)
+        cfg_a = FrameConfig(modulation=1, inner_code=0, outer_code=0, payload_len=48)
+        cfg_b = FrameConfig(modulation=8, inner_code=1, outer_code=3, payload_len=48)
+        pa = rng.integers(0, 256, (1, 48), dtype=np.uint8)
+        pb = rng.integers(0, 256, (1, 48), dtype=np.uint8)
+        fa = np.asarray(framegen.framegen(jnp.asarray(pa), cfg_a))
+        fb = np.asarray(framegen.framegen(jnp.asarray(pb), cfg_b))
+        x = np.zeros((2, 8000), dtype=np.complex64)
+        x[0, 200 : 200 + fa.shape[1]] = fa
+        x[1, 500 : 500 + fb.shape[1]] = fb
+
+        def run(expected):
+            rx = FlexRx(max_payload_len=48)
+            return rx.work_complete(rx.work_submit(x, expected_configs=expected))
+
+        base = FlexRx(max_payload_len=48).work(x)
+        for expected in (
+            [(1, 0, 0, 48), (8, 1, 3, 48)],   # both confirmed
+            [(4, 2, 0, 48), (8, 1, 3, 48)],   # ch0 expectation wrong
+            None,                              # no speculation
+        ):
+            got = run(expected)
+            assert len(got) == len(base) == 2
+            for g, b in zip(got, base):
+                for fld in ("payload_valid", "modulation", "inner_code",
+                            "outer_code", "start", "batch"):
+                    assert g[fld] == b[fld], (fld, expected)
+                np.testing.assert_array_equal(
+                    np.asarray(g["payload"]), np.asarray(b["payload"])
+                )
+
     def test_frame_detector_block(self):
         rng = np.random.default_rng(3)
         payload = rng.integers(0, 256, (1, 64), dtype=np.uint8)
