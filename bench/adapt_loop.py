@@ -228,28 +228,10 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    from liquiddsp_tpu.utils.tpu_guard import guarded_backend_init
 
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        import threading
-
-        up = threading.Event()
-
-        def _watchdog():
-            if not up.wait(120):
-                print("backend init watchdog fired — exiting for retry",
-                      file=sys.stderr)
-                os._exit(3)
-
-        threading.Thread(target=_watchdog, daemon=True).start()
-    import jax
+    jax = guarded_backend_init(cpu=args.cpu, canary=not args.cpu)
     import jax.numpy as jnp
-
-    jax.devices()
-    if not args.cpu:
-        up.set()  # disarm the init watchdog — backend is up
 
     warm = _loop(args, jax, jnp, timed=False)
     print(f"warmup: {warm['packets_per_sec']:.1f} pkt/s "

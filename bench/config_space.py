@@ -78,10 +78,25 @@ def main():
                         "--out", part]
                 if args.cpu:
                     argv.append("--cpu")
-                rc = subprocess.call(argv)
-                if rc not in (0, 1):  # 1 = ran but some config failed
-                    print(f"shard {i} crashed rc={rc}", file=sys.stderr)
-                    sys.exit(rc)
+                # per-shard timeout + retries (CLAUDE.md TPU rule): a shard
+                # can hang AFTER init (half-broken session, watchdog already
+                # disarmed) or exit 3 from the init/canary watchdog — retry
+                # THE SHARD, never abandon the shards already completed
+                for attempt in range(3):
+                    try:
+                        rc = subprocess.call(argv, timeout=1800)
+                    except subprocess.TimeoutExpired:
+                        rc = -1
+                        print(f"shard {i} attempt {attempt} timed out",
+                              file=sys.stderr)
+                    if rc in (0, 1):  # 1 = ran but some config failed
+                        break
+                    print(f"shard {i} attempt {attempt} rc={rc}; retrying",
+                          file=sys.stderr)
+                    time.sleep(15)
+                else:
+                    print(f"shard {i} failed after retries", file=sys.stderr)
+                    sys.exit(2)
                 d = json.load(open(part))
                 merged.update(d["results"])
                 elapsed += d["elapsed_s"]
@@ -110,28 +125,10 @@ def main():
                 json.dump(out, fh, indent=1)
         sys.exit(0 if n_ok == 616 else 1)
 
-    if args.cpu:
-        import jax
+    from liquiddsp_tpu.utils.tpu_guard import guarded_backend_init
 
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        import threading
-
-        up = threading.Event()
-
-        def _watchdog():
-            if not up.wait(120):
-                print("backend init watchdog fired — exiting for retry",
-                      file=sys.stderr)
-                os._exit(3)
-
-        threading.Thread(target=_watchdog, daemon=True).start()
-    import jax
+    jax = guarded_backend_init(cpu=args.cpu, canary=not args.cpu)
     import jax.numpy as jnp
-
-    jax.devices()
-    if not args.cpu:
-        up.set()  # disarm — backend is up
 
     from liquiddsp_tpu.core.config import (
         MOD_BPS,

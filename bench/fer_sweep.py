@@ -277,46 +277,10 @@ def main():
     ap.add_argument("--configs", default="", help="comma-separated labels subset")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    from liquiddsp_tpu.utils.tpu_guard import guarded_backend_init
 
-        jax.config.update("jax_platforms", "cpu")
-    else:
-        # init watchdog: the tunneled backend can hang forever at startup
-        # (CLAUDE.md); exit for an outer retry loop. Disarmed after
-        # jax.devices() returns — NOT before (a still-armed watchdog kills
-        # healthy runs mid-warmup).
-        import threading
-
-        up = threading.Event()
-
-        def _watchdog():
-            if not up.wait(120):
-                print("backend init watchdog fired — exiting for retry",
-                      file=sys.stderr)
-                os._exit(3)
-
-        threading.Thread(target=_watchdog, daemon=True).start()
-    import jax
+    jax = guarded_backend_init(cpu=args.cpu, canary=True)
     import jax.numpy as jnp
-
-    jax.devices()
-    if not args.cpu:
-        up.set()
-        # canary: init can also succeed into a HALF-BROKEN session where the
-        # first compile/execute hangs forever (observed r3). Give a tiny jit
-        # a deadline; exit for the outer retry loop if it never completes.
-        done = threading.Event()
-
-        def _canary_watchdog():
-            if not done.wait(180):
-                print("canary watchdog fired — exiting for retry",
-                      file=sys.stderr)
-                os._exit(3)
-
-        threading.Thread(target=_canary_watchdog, daemon=True).start()
-        assert float(jax.jit(lambda a: (a * 2).sum())(jnp.arange(8.0))) == 56.0
-        done.set()
 
     from liquiddsp_tpu.core.config import FrameConfig
 

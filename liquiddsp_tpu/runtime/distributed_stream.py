@@ -71,6 +71,8 @@ class ShardedStreamingRx:
         )
         self._carry = self._make_carry()
         self._consumed = 0
+        self.start_epoch = 0  # host-side 2^30 base of res.start (int32-wrap
+        # guard; same contract as runtime/stream.py StreamingRx._base)
 
         real_len = self.overlap + chunk_len  # window minus the zero pad
 
@@ -114,15 +116,20 @@ class ShardedStreamingRx:
         """Zero the carry and stream position (new stream, same jits)."""
         self._carry = self._make_carry()
         self._consumed = 0
+        self.start_epoch = 0
 
     def step(self, chunk: jax.Array):
         """[batch, chunk_len] new samples -> (FrameResults, LinkMetrics).
 
-        Returned ``start`` values are absolute stream sample indices."""
+        Returned ``start`` values are stream sample indices relative to
+        ``self.start_epoch`` (zero for streams under 2^30 samples; the
+        device-side int32 would otherwise wrap on long-lived streams)."""
         assert chunk.shape == (self.batch, self.chunk_len)
         window, new_carry = self._assemble(self._carry, chunk)
         window = shard_stream(window, self.mesh)
-        base = jnp.int32(self._consumed - self.overlap)
+        base_abs = self._consumed - self.overlap
+        self.start_epoch = (max(base_abs, 0) >> 30) << 30
+        base = jnp.int32(base_abs - self.start_epoch)
         res, metrics = self._step(window, base)
         self._carry = new_carry
         self._consumed += self.chunk_len

@@ -33,6 +33,13 @@ class StreamingRx:
 
     One instance per continuous stream batch [B, *]. ``chunk_len`` is static;
     every step jit-executes one compiled program.
+
+    Performance note: every per-candidate RX stage scales with the K
+    candidate slots, and the ``max_frames_per_chunk`` default provisions
+    for worst-case back-to-back frames. When the deployment's maximum frame
+    rate is known, pass ``max_frames_per_chunk`` sized to it — halving K
+    roughly doubles throughput on slot-bound streams (measured 0.45 vs
+    0.95 Gsamp/s/chip at 64ch x 64k chunks, bench.py).
     """
 
     def __init__(
@@ -64,7 +71,8 @@ class StreamingRx:
             lambda: jnp.zeros((batch, self.overlap), dtype=jnp.complex64)
         )
         self._carry = self._make_carry()
-        self._samples_consumed = 0  # absolute index of carry[0]
+        self._samples_consumed = 0  # absolute index of carry[0] (python int)
+        self.start_epoch = 0  # host-side 2^30 base of res.start (see _base)
         self._step = jax.jit(
             functools.partial(
                 _stream_step,
@@ -90,17 +98,36 @@ class StreamingRx:
         compiled step — reuses the jit cache, unlike a fresh instance)."""
         self._carry = self._make_carry()
         self._samples_consumed = 0
+        self.start_epoch = 0
+
+    def _base(self) -> jax.Array:
+        """In-epoch window base as a device int32.
+
+        ``start`` rides on-device as int32, which would silently wrap after
+        2^31 stream samples (~36 min of a 1 Msamp/s channel) — fatal for
+        consumers deduping on absolute indices (runtime/supervisor.py
+        checkpoint contract). The unbounded python-int position is split
+        into ``start_epoch`` (an exact multiple of 2^30, host side) plus a
+        small in-epoch offset (device side): absolute index =
+        ``rx.start_epoch + res.start``. Streams shorter than 2^30 samples
+        always see epoch 0, i.e. ``res.start`` absolute as before. Read
+        ``start_epoch`` before the next step — it advances with the
+        stream."""
+        base_abs = self._samples_consumed - self.overlap
+        self.start_epoch = (max(base_abs, 0) >> 30) << 30
+        return jnp.int32(base_abs - self.start_epoch)
 
     def step(self, chunk: jax.Array) -> FrameResults:
         """Process [B, chunk_len] new samples; returns FrameResults whose
-        ``start`` fields are absolute stream sample indices."""
+        ``start`` fields are stream sample indices relative to
+        ``self.start_epoch`` (zero for streams under 2^30 samples — see
+        :meth:`_base`)."""
         assert chunk.shape == (self.batch, self.chunk_len)
         # window[0] sits at absolute index samples_consumed - overlap; the
         # offset rides into the jitted step as a traced scalar (one compiled
         # program, one dispatch per chunk — a host-side replace() after the
         # step cost a second dispatch per chunk)
-        base = jnp.int32(self._samples_consumed - self.overlap)
-        res, self._carry = self._step(self._carry, chunk, base)
+        res, self._carry = self._step(self._carry, chunk, self._base())
         self._samples_consumed += self.chunk_len
         return res
 
@@ -128,8 +155,8 @@ class StreamingRx:
             chunks = chunks.reshape(b, t // self.chunk_len, self.chunk_len)
         assert chunks.shape[0] == self.batch and chunks.shape[2] == self.chunk_len
         n = chunks.shape[1]
-        base = jnp.int32(self._samples_consumed - self.overlap)
-        res, self._carry = self._superstep(self._carry, chunks, base)
+        assert n * self.chunk_len < (1 << 30), "launch exceeds one start epoch"
+        res, self._carry = self._superstep(self._carry, chunks, self._base())
         self._samples_consumed += n * self.chunk_len
         return res
 
@@ -153,10 +180,15 @@ class StreamingRx:
             for c in chunks:
                 out.append(self.step(c))
             return out
-        for g in range(0, len(chunks), chunks_per_launch):
+        n_full = (len(chunks) // chunks_per_launch) * chunks_per_launch
+        for g in range(0, n_full, chunks_per_launch):
             group = chunks[g : g + chunks_per_launch]
             stacked = self.superstep(jnp.stack(group, axis=1))
             out.extend(split_results(stacked, len(group)))
+        # short tail rides the already-compiled per-chunk step — a scan of a
+        # different static length would recompile the whole RX pipeline
+        for c in chunks[n_full:]:
+            out.append(self.step(c))
         return out
 
 

@@ -60,8 +60,13 @@ class Heartbeat:
         os.replace(tmp, self.path)  # atomic on POSIX
 
 
-def save_stream_state(path: str, rx) -> None:
-    """Checkpoint a StreamingRx: absolute position + overlap carry.
+def save_stream_state(path: str, rx, **extra) -> None:
+    """Checkpoint a StreamingRx: absolute position + overlap carry, plus any
+    caller state (``extra`` numpy-convertible arrays) in the SAME atomic
+    npz — a crash can never observe the stream position and the caller's
+    tally out of sync (a two-file protocol would re-run or skip a chunk
+    on a crash between the writes, losing or double-counting a
+    boundary-straddling frame).
 
     The carry crosses to the host as separate real/imag f32 planes
     (complex64 fetches are UNIMPLEMENTED on the tunneled axon backend)."""
@@ -73,26 +78,28 @@ def save_stream_state(path: str, rx) -> None:
     tmp = f"{path}.tmp.{os.getpid()}.npz"
     with open(tmp, "wb") as fh:
         np.savez(fh, carry_re=cr, carry_im=ci,
-                 samples_consumed=np.int64(rx._samples_consumed))
+                 samples_consumed=np.int64(rx._samples_consumed),
+                 **{f"extra_{k}": np.asarray(v) for k, v in extra.items()})
     os.replace(tmp, path)
 
 
-def load_stream_state(path: str, rx) -> bool:
-    """Restore a checkpoint written by save_stream_state; returns False when
-    no checkpoint exists (fresh start)."""
+def load_stream_state(path: str, rx) -> dict | None:
+    """Restore a checkpoint written by save_stream_state; returns the dict
+    of ``extra`` arrays saved alongside (empty if none), or None when no
+    checkpoint exists (fresh start)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     if not os.path.exists(path):
-        return False
+        return None
     d = np.load(path)
     cr, ci = d["carry_re"], d["carry_im"]
     # complex rebuild inside jit (eager complex arrays can be poisoned on
     # the axon backend, CLAUDE.md)
     rx._carry = jax.jit(lambda a, b: (a + 1j * b).astype(jnp.complex64))(cr, ci)
     rx._samples_consumed = int(d["samples_consumed"])
-    return True
+    return {k[len("extra_"):]: d[k] for k in d.files if k.startswith("extra_")}
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +126,8 @@ class _WorkerState:
     restarts: int = 0
     started_at: float = 0.0
     gave_up: bool = False
+    respawn_after: float = 0.0  # backoff deadline (0 = no respawn pending)
+    respawn_reason: str = ""
 
 
 class Supervisor:
@@ -157,9 +166,23 @@ class Supervisor:
         return time.time() - max(last, st.started_at)
 
     def poll(self) -> None:
-        """One supervision pass: restart dead/hung workers (bounded)."""
+        """One supervision pass: restart dead/hung workers (bounded).
+
+        Non-blocking: a failed worker's restart backoff is a per-worker
+        deadline (``respawn_after``), never a sleep — a crash-looping
+        worker must not delay stale-heartbeat detection of its siblings."""
+        now = time.time()
         for st in self._states:
-            if st.proc is None or st.gave_up:
+            if st.gave_up:
+                continue
+            if st.respawn_after:
+                if now >= st.respawn_after:
+                    st.respawn_after = 0.0
+                    st.restarts += 1
+                    self._on_event(st.spec.name, "restart", st.respawn_reason)
+                    self._spawn(st)
+                continue
+            if st.proc is None:
                 continue
             rc = st.proc.poll()
             reason = None
@@ -184,10 +207,8 @@ class Supervisor:
                 st.gave_up = True
                 self._on_event(st.spec.name, "giveup", reason)
                 continue
-            time.sleep(st.spec.backoff_s * (2**st.restarts))
-            st.restarts += 1
-            self._on_event(st.spec.name, "restart", reason)
-            self._spawn(st)
+            st.respawn_reason = reason
+            st.respawn_after = now + st.spec.backoff_s * (2**st.restarts)
 
     def run(self, poll_interval_s: float = 0.25, timeout_s: float | None = None):
         """Supervise until every worker has exited cleanly (or been given

@@ -51,32 +51,28 @@ for s, fr in zip(starts, frames):
     stream[0, s : s + f] = fr
 
 rx = StreamingRx(cfg, batch=1, chunk_len=chunk)
-load_stream_state(ckpt, rx)
-tally = {"decoded": [], "chunks_done": rx._samples_consumed // chunk}
-if os.path.exists(tally_path):
-    tally = json.load(open(tally_path))
+extra = load_stream_state(ckpt, rx)
+# the ONE crash-consistent state is the npz: stream carry + position + the
+# decoded-start tally together, atomically (save_stream_state **extra) — a
+# two-file protocol could lose a boundary straddler or double-count a
+# chunk when a crash lands between the writes
+decoded = [int(s) for s in extra["decoded"]] if extra else []
 
-while tally["chunks_done"] < n_chunks:
-    i = tally["chunks_done"]
+while (i := rx._samples_consumed // chunk) < n_chunks:
     hb.beat()
     res = rx.step(jnp.asarray(stream[:, i * chunk : (i + 1) * chunk]))
     m = np.asarray(res.mask)[0]
     for k in np.nonzero(m)[0]:
         assert bool(np.asarray(res.payload_valid)[0, k])
-        tally["decoded"].append(int(np.asarray(res.start)[0, k]))
-    tally["chunks_done"] = i + 1
-    # checkpoint AFTER recording the chunk's results; ``start`` is an
-    # absolute stream index, so a consumer deduping on it tolerates a crash
-    # landing between the two writes (the chunk re-runs)
-    save_stream_state(ckpt, rx)
-    tmp = tally_path + ".tmp"
-    json.dump(tally, open(tmp, "w")); os.replace(tmp, tally_path)
-    if die_after >= 0 and tally["chunks_done"] == die_after and not os.path.exists(
+        decoded.append(rx.start_epoch + int(np.asarray(res.start)[0, k]))
+    save_stream_state(ckpt, rx, decoded=np.asarray(decoded, dtype=np.int64))
+    if die_after >= 0 and i + 1 == die_after and not os.path.exists(
         os.path.join(work_dir, "died")
     ):
         open(os.path.join(work_dir, "died"), "w").write("1")
         os._exit(9)
 
+tally = {"decoded": decoded, "chunks_done": rx._samples_consumed // chunk}
 json.dump(tally, open(tally_path, "w"))
 print("worker done:", tally)
 """
