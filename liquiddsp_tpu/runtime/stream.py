@@ -73,6 +73,7 @@ class StreamingRx:
         self._carry = self._make_carry()
         self._samples_consumed = 0  # absolute index of carry[0] (python int)
         self.start_epoch = 0  # host-side 2^30 base of res.start (see _base)
+        self._pending = None  # push() arrival buffer (host, [B, <chunk_len])
         self._step = jax.jit(
             functools.partial(
                 _stream_step,
@@ -99,6 +100,7 @@ class StreamingRx:
         self._carry = self._make_carry()
         self._samples_consumed = 0
         self.start_epoch = 0
+        self._pending = None
 
     def _base(self) -> jax.Array:
         """In-epoch window base as a device int32.
@@ -130,6 +132,43 @@ class StreamingRx:
         res, self._carry = self._step(self._carry, chunk, self._base())
         self._samples_consumed += self.chunk_len
         return res
+
+    def push(self, samples: np.ndarray | jax.Array) -> list[FrameResults]:
+        """GR-style arbitrary chunking (the reference contract feeds
+        flexframesync 256-sample chunks, lib/flex_rx_impl.cc:213): accept
+        [B, n] for ANY n >= 1, buffer host-side, and run the compiled
+        fixed-size step whenever a full ``chunk_len`` has accumulated.
+        Returns the FrameResults of every step completed by this push
+        (possibly empty — no device work happens until a step is full).
+
+        The accumulator is NOT the overlap carry: it only quantizes arrival
+        sizes up to the compiled step size; boundary-straddle semantics are
+        unchanged. Use :meth:`flush` at end-of-stream to drain the tail."""
+        samples = np.asarray(samples)
+        assert samples.ndim == 2 and samples.shape[0] == self.batch
+        if self._pending is None:
+            self._pending = np.zeros((self.batch, 0), dtype=np.complex64)
+        self._pending = np.concatenate(
+            [self._pending, samples.astype(np.complex64)], axis=1
+        )
+        out: list[FrameResults] = []
+        while self._pending.shape[1] >= self.chunk_len:
+            chunk = self._pending[:, : self.chunk_len]
+            self._pending = self._pending[:, self.chunk_len :]
+            out.append(self.step(jnp.asarray(chunk)))
+        return out
+
+    def flush(self) -> FrameResults | None:
+        """End-of-stream: zero-pad the pending tail to one chunk and step.
+        Returns None when nothing is pending. Frames that would extend past
+        the true end of data decode against zeros (as in :meth:`run`'s tail
+        padding)."""
+        if self._pending is None or self._pending.shape[1] == 0:
+            return None
+        pad = self.chunk_len - self._pending.shape[1]
+        chunk = np.pad(self._pending, ((0, 0), (0, pad)))
+        self._pending = np.zeros((self.batch, 0), dtype=np.complex64)
+        return self.step(jnp.asarray(chunk))
 
     def superstep(self, chunks: jax.Array) -> FrameResults:
         """Process N chunks in ONE device dispatch.

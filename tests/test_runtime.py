@@ -66,6 +66,41 @@ class TestStreamingRx:
             assert p_got == bytes(p_want)
 
 
+class TestPush:
+    def test_256_sample_pushes_match_run(self):
+        """GR chunk-contract parity (ref feeds flexframesync 256-sample
+        chunks): arbitrary-size push() + flush() must decode the same
+        frames as the fixed-chunk run() path."""
+        rng = np.random.default_rng(31)
+        payloads = rng.integers(0, 256, (2, 64), dtype=np.uint8)
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), QPSK_CFG))
+        f = frames.shape[1]
+        chunk = 2048
+        stream = np.zeros((1, 3 * chunk), dtype=np.complex64)
+        starts = [400, chunk - f // 2]  # interior + straddler
+        for s, fr in zip(starts, frames):
+            stream[0, s : s + f] = fr
+        rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
+        results = []
+        for pos in range(0, stream.shape[1], 256):
+            results.extend(rx.push(stream[:, pos : pos + 256]))
+        tail = rx.flush()
+        if tail is not None:
+            results.append(tail)
+        got = {}
+        for r in results:
+            m = np.asarray(r.mask[0])
+            for k in np.nonzero(m)[0]:
+                s = rx.start_epoch + int(np.asarray(r.start)[0, k])
+                assert bool(np.asarray(r.payload_valid)[0, k])
+                got[s] = bytes(np.asarray(r.payload)[0, k])
+        assert len(got) == 2, got
+        for s, p in zip(starts, payloads):
+            key = min(got, key=lambda g: abs(g - s))
+            assert abs(key - s) <= 1
+            assert got[key] == bytes(p)
+
+
 class TestSuperstep:
     """Device-side multi-chunk scan (StreamingRx.superstep): one dispatch per
     N chunks must be semantically identical to N sequential step() calls —
