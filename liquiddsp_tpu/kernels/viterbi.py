@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NSTATES = 64
-TILE_B = 512
+MAX_TILE_B = 512
 CHUNK = 8  # trellis steps per aligned VMEM row-chunk
 NEG = -1e9  # plain float: jnp scalars would be captured consts in the kernel
 
@@ -80,7 +80,8 @@ def _branch_consts(out0: np.ndarray, out1: np.ndarray) -> np.ndarray:
 
 def _kernel(lam_ref, e_ref, p0_ref, p1_ref, a0_ref, a1_ref, l_ref, bits_ref,
             metrics, onehot, dec, *, steps_pad: int, known_start: bool,
-            known_end: bool):
+            known_end: bool, tile_b: int):
+    TILE_B = tile_b
     iota = jax.lax.broadcasted_iota(jnp.int32, (NSTATES, TILE_B), 0)
     shifts = iota % 32
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -156,15 +157,39 @@ def _kernel(lam_ref, e_ref, p0_ref, p1_ref, a0_ref, a1_ref, l_ref, bits_ref,
     jax.lax.fori_loop(0, nchunks, tb_chunk, None)
 
 
+def _tile_b(steps_pad: int) -> int:
+    """Batch-tile width from a VMEM budget on the trellis length.
+
+    Every large allocation scales as steps_pad * TILE_B: the input LLR
+    block [2, steps, T] f32, the packed-decision scratch [2, steps, T]
+    i32, and the double-buffered output block [steps, T] f32. Measured
+    boundary at T=512: steps_pad 2384 compiles, 4160 OOMs scoped vmem
+    ("16.72M > 16.00M" on the output's stack allocation). Budgeting the
+    binding double-buffered-output term at 12 MB keeps long-frame configs
+    (payload 256 + Golay + V27 = 4160 steps) compiling; lanes stay a
+    128-multiple. Trellises too long for even T=128 fall back to the XLA
+    scan in ops/fec/conv.decode (PALLAS_MAX_STEPS)."""
+    t = (12_000_000 // (steps_pad * 8) // 128) * 128
+    return int(max(128, min(MAX_TILE_B, t)))
+
+
+# beyond this even TILE_B=128 would blow the budget — conv.decode routes to
+# the XLA scan backend instead
+PALLAS_MAX_STEPS = 11_000
+
+
 @functools.partial(
-    jax.jit, static_argnames=("steps_pad", "known_start", "known_end", "interpret")
+    jax.jit, static_argnames=("steps_pad", "known_start", "known_end",
+                              "interpret", "tile_b")
 )
 def _run(lam4, e, *, steps_pad: int, known_start: bool, known_end: bool,
-         interpret: bool):
+         interpret: bool, tile_b: int):
     n_tiles = lam4.shape[0]
+    TILE_B = tile_b
     P0, P1, A0, A1, L = (jnp.asarray(m) for m in _route_mats())
     kernel = functools.partial(
-        _kernel, steps_pad=steps_pad, known_start=known_start, known_end=known_end
+        _kernel, steps_pad=steps_pad, known_start=known_start,
+        known_end=known_end, tile_b=tile_b,
     )
     cspec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     bits = pl.pallas_call(
@@ -199,6 +224,7 @@ def viterbi_pallas(
     (conv._trellis_tables). Boundary states pinned to 0 when known."""
     b, steps, _ = lam.shape
     steps_pad = -(-steps // CHUNK) * CHUNK
+    TILE_B = _tile_b(steps_pad)
     b_pad = -(-b // TILE_B) * TILE_B
     # pad steps with strong zero-bit LLRs (state 0 self-loop emits 00, so
     # this extends the terminated trellis harmlessly); pad batch with zeros
@@ -214,7 +240,7 @@ def viterbi_pallas(
     e = _branch_consts(out0, out1)
     bits = _run(
         lam4, e, steps_pad=steps_pad, known_start=known_start,
-        known_end=known_end, interpret=interpret,
+        known_end=known_end, interpret=interpret, tile_b=TILE_B,
     )  # [n_tiles, steps_pad, TILE_B]
     bits = bits.transpose(0, 2, 1).reshape(b_pad, steps_pad)
     return bits[:b, :steps].astype(jnp.int8)

@@ -214,6 +214,14 @@ def decode(
             "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         )
     if backend in ("pallas", "pallas_interpret") and not segmented:
+        from liquiddsp_tpu.kernels.viterbi import PALLAS_MAX_STEPS, viterbi_pallas
+
+        if steps > PALLAS_MAX_STEPS:
+            # trellis too long for the kernel's VMEM budget even at the
+            # narrowest batch tile (kernels/viterbi.py _tile_b) — the XLA
+            # scan is slower but unbounded
+            backend = "xla"
+    if backend in ("pallas", "pallas_interpret") and not segmented:
         from liquiddsp_tpu.kernels.viterbi import viterbi_pallas
 
         out0, out1 = _trellis_tables()

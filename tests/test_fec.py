@@ -197,3 +197,35 @@ class TestPallasViterbi:
                 conv.decode(jnp.asarray(llr), nbits, inner, backend="pallas_interpret")
             )
             np.testing.assert_array_equal(ref, pal)
+
+    def test_tile_budget_and_long_trellis_fallback(self):
+        """Long-frame VMEM guard (measured on TPU: TILE_B=512 compiles at
+        steps_pad 2384, OOMs scoped vmem at 4160): the batch tile shrinks
+        with trellis length, the boundary cases pin the budget model, and
+        trellises beyond PALLAS_MAX_STEPS route to the XLA scan."""
+        from liquiddsp_tpu.kernels.viterbi import (
+            PALLAS_MAX_STEPS,
+            _tile_b,
+        )
+
+        assert _tile_b(2384) == 512  # compiled at full tile on hardware
+        assert _tile_b(4160) == 256  # the config that OOM'd at 512
+        assert _tile_b(PALLAS_MAX_STEPS) == 128
+        assert _tile_b(10**6) == 128  # floor
+        # reduced-tile parity: a trellis long enough to shrink the tile
+        # decodes bit-identically in interpret mode
+        rng = np.random.default_rng(33)
+        nbits = 2930  # steps_pad 2936 -> tile 384 (< MAX_TILE_B)
+        assert _tile_b(nbits + 6 + 2) < 512
+        bits = rng.integers(0, 2, (1, nbits)).astype(np.int8)
+        coded = np.stack([conv.encode_host(b, 1) for b in bits])
+        llr = (1.0 - 2.0 * coded).astype(np.float32)
+        ref = np.asarray(conv.decode(jnp.asarray(llr), nbits, 1, backend="xla"))
+        pal = np.asarray(
+            conv.decode(jnp.asarray(llr), nbits, 1, backend="pallas_interpret")
+        )
+        np.testing.assert_array_equal(ref, pal)
+        # beyond the kernel budget entirely: decode() transparently falls
+        # back to the scan (just verify it decodes, tiny noiseless case
+        # would be huge — check routing only via PALLAS_MAX_STEPS constant)
+        assert PALLAS_MAX_STEPS * 128 * 8 <= 12_000_000
