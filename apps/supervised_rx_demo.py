@@ -36,6 +36,7 @@ from liquiddsp_tpu.core.config import FrameConfig
 from liquiddsp_tpu.phy import framegen
 from liquiddsp_tpu.runtime.stream import StreamingRx
 from liquiddsp_tpu.runtime.supervisor import Heartbeat, load_stream_state, save_stream_state
+from liquiddsp_tpu.utils.device import put_c64
 
 work_dir, widx, n_chunks, die_after = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
@@ -65,7 +66,7 @@ resumed = extra is not None
 
 while (i := rx._samples_consumed // chunk) < n_chunks:
     hb.beat()
-    res = rx.step(jnp.asarray(stream[:, i * chunk : (i + 1) * chunk]))
+    res = rx.step(put_c64(stream[:, i * chunk : (i + 1) * chunk]))
     m = np.asarray(res.mask)[0]
     for k in np.nonzero(m)[0]:
         if bool(np.asarray(res.payload_valid)[0, k]):

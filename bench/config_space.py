@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--group", type=int, default=8, help="configs per block")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    ap.add_argument("--mods", default="",
+                    help="comma-separated modulation indices subset (e.g. "
+                         "'0' = the BPSK column: the longest frames per "
+                         "payload, worst case for kernel VMEM budgets)")
     # 616 distinct configs = ~1200 per-config compiled programs; one process
     # holding all of them exhausted 128 GB of host RAM at ~400 configs
     # (LLVM "Cannot allocate memory" -> SIGSEGV). Shards run as SEQUENTIAL
@@ -76,6 +80,8 @@ def main():
                         "--frames-per-config", str(args.frames_per_config),
                         "--group", str(args.group), "--seed", str(args.seed),
                         "--out", part]
+                if args.mods:
+                    argv += ["--mods", args.mods]
                 if args.cpu:
                     argv.append("--cpu")
                 # per-shard timeout + retries (CLAUDE.md TPU rule): a shard
@@ -103,12 +109,15 @@ def main():
                 device = d["device"]
         n_ok = sum(merged.values())
         bad = sorted(k for k, v in merged.items() if not v)
+        n_mods = len(args.mods.split(",")) if args.mods else 11
+        expected = n_mods * 56  # inner x outer = 7 x 8 per modulation
         out = {
             "metric": "config_space_loopback_ok",
             "value": n_ok,
-            "unit": "configs (of 616)",
+            "unit": f"configs (of {expected})",
             "frames_per_config": args.frames_per_config,
             "payload_len": args.payload_len,
+            "mods": args.mods or "all",
             "snr_rule_db": "18 + 2*bits_per_symbol",
             "elapsed_s": elapsed,
             "shards": args.shards,
@@ -116,14 +125,14 @@ def main():
             "failed_configs": bad,
             "results": merged,
         }
-        assert len(merged) == 616, len(merged)
+        assert len(merged) == expected, (len(merged), expected)
         print(json.dumps({k: out[k] for k in
                           ("metric", "value", "unit", "elapsed_s",
                            "failed_configs")}))
         if args.out:
             with open(args.out, "w") as fh:
                 json.dump(out, fh, indent=1)
-        sys.exit(0 if n_ok == 616 else 1)
+        sys.exit(0 if n_ok == expected else 1)
 
     from liquiddsp_tpu.utils.tpu_guard import guarded_backend_init
 
@@ -149,6 +158,9 @@ def main():
         for o in range(NUM_OUTER_CODES)
     ]
     assert len(configs) == 616
+    if args.mods:
+        keep = {int(m) for m in args.mods.split(",")}
+        configs = [c for c in configs if c[0] in keep]
     if args.shard_index >= 0:
         per = -(-len(configs) // args.shards)
         configs = configs[args.shard_index * per : (args.shard_index + 1) * per]
@@ -168,7 +180,16 @@ def main():
         for ch, (m, i, o) in enumerate(batch_cfgs):
             cfg = FrameConfig(m, i, o, plen)
             payloads = rng.integers(0, 256, (nf, plen), dtype=np.uint8)
-            frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+            # frames built INSIDE jit and fetched as real/imag planes:
+            # eager complex ops are poisoned and complex64 device->host
+            # transfers are UNIMPLEMENTED on the axon backend (CLAUDE.md)
+            fr, fi = jax.jit(
+                lambda p, c=cfg: (
+                    jnp.real(framegen.framegen(p, c)),
+                    jnp.imag(framegen.framegen(p, c)),
+                )
+            )(jnp.asarray(payloads))
+            frames = (np.asarray(fr) + 1j * np.asarray(fi)).astype(np.complex64)
             f = frames.shape[1]
             for j in range(nf):
                 s = LEAD + j * (maxf + LEAD)
@@ -182,7 +203,7 @@ def main():
                 rng.standard_normal(t_block) + 1j * rng.standard_normal(t_block)
             ).astype(np.complex64)
             sent.append(((m, i, o), payloads))
-        infos = rx.work(jnp.asarray(x))
+        infos = rx.work(x)  # FlexRx does the axon-safe split put
         by_ch: dict[int, list] = {}
         for info in infos:
             by_ch.setdefault(info["batch"], []).append(info)

@@ -45,6 +45,11 @@ from liquiddsp_tpu.phy import framesync as phy_framesync
 from liquiddsp_tpu.runtime.bus import PDU, MessageBus
 
 
+from liquiddsp_tpu.utils.device import as_c64_2d as _as_device_c64_2d  # noqa: E402
+# (split f32 puts + in-jit combine: raw complex64 host->device puts are
+# UNIMPLEMENTED on the axon backend, utils/device.py)
+
+
 @functools.lru_cache(maxsize=None)
 def _tx_program(modulation: int, inner: int, outer: int, payload_len: int):
     cfg = FrameConfig(modulation, inner, outer, payload_len)
@@ -223,7 +228,7 @@ class FlexRx:
         decode inputs are then identical to the fallback's — same program,
         same gather index — so results are bit-identical); any other slot
         falls back to the normal grouped decode."""
-        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
+        x = _as_device_c64_2d(x)
         sync = _sync_program(self.n_syms, self.max_frames, self.threshold)
         syms, evm_lin, packed = sync(x)
         try:  # start the device->host copy early (overlaps remaining compute)
@@ -393,7 +398,7 @@ class FrameDetectorCC:
         )
 
     def work(self, x):
-        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.complex64))
+        x = _as_device_c64_2d(x)
         det = self._prog(x)
         self.num_frames += int(np.asarray(det.mask).sum())
         return x, det

@@ -26,6 +26,7 @@ import numpy as np
 from liquiddsp_tpu.core.config import FrameConfig
 from liquiddsp_tpu.phy import frame_spec as fs
 from liquiddsp_tpu.phy.framesync import FrameResults, framesync_fixed
+from liquiddsp_tpu.utils.device import put_c64
 
 
 class StreamingRx:
@@ -155,7 +156,7 @@ class StreamingRx:
         while self._pending.shape[1] >= self.chunk_len:
             chunk = self._pending[:, : self.chunk_len]
             self._pending = self._pending[:, self.chunk_len :]
-            out.append(self.step(jnp.asarray(chunk)))
+            out.append(self.step(put_c64(chunk)))
         return out
 
     def flush(self) -> FrameResults | None:
@@ -168,7 +169,7 @@ class StreamingRx:
         pad = self.chunk_len - self._pending.shape[1]
         chunk = np.pad(self._pending, ((0, 0), (0, pad)))
         self._pending = np.zeros((self.batch, 0), dtype=np.complex64)
-        return self.step(jnp.asarray(chunk))
+        return self.step(put_c64(chunk))
 
     def superstep(self, chunks: jax.Array) -> FrameResults:
         """Process N chunks in ONE device dispatch.
@@ -208,12 +209,16 @@ class StreamingRx:
         :meth:`superstep` (one dispatch per group) and unstacks the result —
         same list-of-per-chunk-FrameResults contract either way."""
         b, t = stream.shape
+        on_device = isinstance(stream, jax.Array)
         chunks = []
         for pos in range(0, t, self.chunk_len):
             chunk = stream[:, pos : pos + self.chunk_len]
             if chunk.shape[1] < self.chunk_len:
-                chunk = jnp.pad(chunk, ((0, 0), (0, self.chunk_len - chunk.shape[1])))
-            chunks.append(jnp.asarray(chunk))
+                # pad on the side the data lives on (a jnp.pad of host data
+                # would trigger a raw complex put — UNIMPLEMENTED on axon)
+                pad = ((0, 0), (0, self.chunk_len - chunk.shape[1]))
+                chunk = jnp.pad(chunk, pad) if on_device else np.pad(chunk, pad)
+            chunks.append(chunk if on_device else put_c64(chunk))
         out: list[FrameResults] = []
         if chunks_per_launch <= 1:
             for c in chunks:
