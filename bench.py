@@ -45,9 +45,9 @@ BLOCK = 1 << 16  # samples per channel per step
 # Iterations per timing pass. The tunneled backend charges a fixed ~25 ms
 # RPC for the final scalar fetch that ends a pass; at 10 iters that fetch
 # was ~35% of the measured time (tools/profile_rx.py's null-dispatch floor).
-# 40 iters amortizes it below ~8% so the number reflects steady-state
+# 80 iters amortizes it below ~4% so the number reflects steady-state
 # throughput, which is what continuous RX actually runs at.
-ITERS = 40
+ITERS = 80
 
 
 def _canary(jax, jnp):
@@ -277,25 +277,50 @@ def bench_streaming(jax, jnp, cfg, snr_db, n_chunks=10, chunk_len=1 << 16):
     n_ok = run_scanned()
     assert n_ok == expected, f"scanned decoded {n_ok}/{expected} frames"
 
+    # steady-state timing: REPS super-blocks per pass with the counts
+    # accumulated ON DEVICE and ONE scalar fetch at the end — the same
+    # final-fetch amortization the block bench gets from ITERS (the ~25 ms
+    # end-of-pass RPC was 35% of a single-super-block measurement)
+    reps = 5
+
+    def run_scanned_reps():
+        acc = None
+        for _ in range(reps):
+            rx.reset()
+            v = count(rx.superstep(stacked))
+            acc = v if acc is None else acc + v
+        return int(acc)
+
+    def run_per_chunk_reps():
+        acc = None
+        for _ in range(reps):
+            rx.reset()
+            for c in chunks:
+                res = rx.step(c)
+                v = jnp.sum(res.payload_valid.astype(jnp.int32))
+                acc = v if acc is None else acc + v
+        return int(acc)
+
     def best_of_3(fn):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             got = fn()
             best = min(best, time.perf_counter() - t0)
-            assert got == expected
+            assert got == expected * reps
         return best
 
-    dt_scan = best_of_3(run_scanned)
-    dt_chunk = best_of_3(run_per_chunk)
-    rate = BATCH * total / dt_scan
-    rate_chunk = BATCH * total / dt_chunk
+    dt_scan = best_of_3(run_scanned_reps)
+    dt_chunk = best_of_3(run_per_chunk_reps)
+    rate = BATCH * total * reps / dt_scan
+    rate_chunk = BATCH * total * reps / dt_chunk
     return {
         "samples_per_sec_per_chip": rate,
         "vs_baseline": rate / PER_CHIP_BASELINE,
         "chunk_len": chunk_len,
         "n_chunks": n_chunks,
         "chunks_per_launch": n_chunks,
+        "super_blocks_per_pass": reps,
         "per_chunk_dispatch_samples_per_sec_per_chip": rate_chunk,
         "decoded_frames": n_ok,
         "expected_frames": expected,
