@@ -183,12 +183,11 @@ def main():
             # frames built INSIDE jit and fetched as real/imag planes:
             # eager complex ops are poisoned and complex64 device->host
             # transfers are UNIMPLEMENTED on the axon backend (CLAUDE.md)
-            fr, fi = jax.jit(
-                lambda p, c=cfg: (
-                    jnp.real(framegen.framegen(p, c)),
-                    jnp.imag(framegen.framegen(p, c)),
-                )
-            )(jnp.asarray(payloads))
+            def _build(p, c=cfg):
+                fr = framegen.framegen(p, c)
+                return jnp.real(fr), jnp.imag(fr)
+
+            fr, fi = jax.jit(_build)(jnp.asarray(payloads))
             frames = (np.asarray(fr) + 1j * np.asarray(fi)).astype(np.complex64)
             f = frames.shape[1]
             for j in range(nf):
@@ -233,9 +232,10 @@ def main():
     out = {
         "metric": "config_space_loopback_ok",
         "value": n_ok,
-        "unit": "configs (of 616)",
+        "unit": f"configs (of {len(configs)})",
         "frames_per_config": nf,
         "payload_len": plen,
+        "mods": args.mods or "all",
         "snr_rule_db": "18 + 2*bits_per_symbol",
         "elapsed_s": time.perf_counter() - t0,
         "device": str(jax.devices()[0]),

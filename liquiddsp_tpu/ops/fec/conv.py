@@ -219,11 +219,9 @@ def decode(
         if steps > PALLAS_MAX_STEPS:
             # trellis too long for the kernel's VMEM budget even at the
             # narrowest batch tile (kernels/viterbi.py _tile_b) — the XLA
-            # scan is slower but unbounded
+            # scan below is slower but unbounded
             backend = "xla"
     if backend in ("pallas", "pallas_interpret") and not segmented:
-        from liquiddsp_tpu.kernels.viterbi import viterbi_pallas
-
         out0, out1 = _trellis_tables()
         bits = viterbi_pallas(
             lam, out0, out1, known_start=True, known_end=True,

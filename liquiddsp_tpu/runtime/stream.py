@@ -145,7 +145,13 @@ class StreamingRx:
         The accumulator is NOT the overlap carry: it only quantizes arrival
         sizes up to the compiled step size; boundary-straddle semantics are
         unchanged. Use :meth:`flush` at end-of-stream to drain the tail."""
-        samples = np.asarray(samples)
+        if isinstance(samples, jax.Array):
+            # complex64 device->host fetches are UNIMPLEMENTED on axon
+            # (CLAUDE.md) — pull f32 real/imag planes separately
+            re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(samples)
+            samples = (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+        else:
+            samples = np.asarray(samples)
         assert samples.ndim == 2 and samples.shape[0] == self.batch
         if self._pending is None:
             self._pending = np.zeros((self.batch, 0), dtype=np.complex64)
@@ -215,9 +221,16 @@ class StreamingRx:
             chunk = stream[:, pos : pos + self.chunk_len]
             if chunk.shape[1] < self.chunk_len:
                 # pad on the side the data lives on (a jnp.pad of host data
-                # would trigger a raw complex put — UNIMPLEMENTED on axon)
-                pad = ((0, 0), (0, self.chunk_len - chunk.shape[1]))
-                chunk = jnp.pad(chunk, pad) if on_device else np.pad(chunk, pad)
+                # would trigger a raw complex put, and an EAGER jnp.pad of
+                # device data is in the poisoned-eager-complex op class —
+                # both UNIMPLEMENTED on axon, so the device pad runs in jit)
+                w = self.chunk_len - chunk.shape[1]
+                if on_device:
+                    chunk = jax.jit(
+                        lambda a, w=w: jnp.pad(a, ((0, 0), (0, w)))
+                    )(chunk)
+                else:
+                    chunk = np.pad(chunk, ((0, 0), (0, w)))
             chunks.append(chunk if on_device else put_c64(chunk))
         out: list[FrameResults] = []
         if chunks_per_launch <= 1:

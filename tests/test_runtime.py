@@ -82,8 +82,11 @@ class TestPush:
             stream[0, s : s + f] = fr
         rx = StreamingRx(QPSK_CFG, batch=1, chunk_len=chunk)
         results = []
-        for pos in range(0, stream.shape[1], 256):
-            results.extend(rx.push(stream[:, pos : pos + 256]))
+        for j, pos in enumerate(range(0, stream.shape[1], 256)):
+            piece = stream[:, pos : pos + 256]
+            if j % 2:  # device arrays take the split real/imag fetch path
+                piece = jnp.asarray(piece)
+            results.extend(rx.push(piece))
         tail = rx.flush()
         if tail is not None:
             results.append(tail)
