@@ -263,7 +263,10 @@ def bench_streaming(jax, jnp, cfg, snr_db, n_chunks=10, chunk_len=1 << 16):
     # tunneled backend's ~1.4 ms/launch over the whole group while keeping
     # the exactly-once straddle contract (pinned vs the per-chunk path in
     # tests/test_runtime.py TestSuperstep)
-    stacked = jnp.stack(chunks, axis=1)  # [B, N, L]
+    from liquiddsp_tpu.runtime.stream import _stack_chunks
+
+    stacked = _stack_chunks(chunks)  # [B, N, L], stacked inside jit (axon
+    # poisoned-eager-complex rule, CLAUDE.md)
     jax.block_until_ready(stacked)
     count = jax.jit(lambda r: jnp.sum(r.payload_valid.astype(jnp.int32)))
 

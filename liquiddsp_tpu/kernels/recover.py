@@ -85,6 +85,16 @@ BYTES_PER_CAND_SAMPLE = 204  # measured, see above
 
 def _candidate_tile(k: int, nd: int) -> int:
     kt = VMEM_BUDGET // (BYTES_PER_CAND_SAMPLE * nd)
+    if kt < 8:
+        # even the minimum 8-row tile would blow scoped vmem (nd beyond
+        # ~7.3k candidate samples) — fail at trace time with the budget
+        # math rather than an opaque Mosaic OOM at compile
+        raise ValueError(
+            f"candidate window of nd={nd} samples needs "
+            f"{8 * BYTES_PER_CAND_SAMPLE * nd / 1e6:.1f} MB at the minimum "
+            f"8-row tile, over the {VMEM_BUDGET / 1e6:.0f} MB VMEM budget; "
+            "split the recovery window before calling the Pallas kernel"
+        )
     kt = max(8, (kt // 8) * 8)  # sublane multiple; >=8 keeps VPU rows full
     return min(k, kt)
 

@@ -224,6 +224,13 @@ def viterbi_pallas(
     (conv._trellis_tables). Boundary states pinned to 0 when known."""
     b, steps, _ = lam.shape
     steps_pad = -(-steps // CHUNK) * CHUNK
+    if steps_pad > PALLAS_MAX_STEPS:
+        raise ValueError(
+            f"trellis of {steps_pad} padded steps exceeds PALLAS_MAX_STEPS="
+            f"{PALLAS_MAX_STEPS}: even TILE_B=128 would overflow the 16 MB "
+            "scoped-vmem budget at Mosaic compile. Use ops/fec/conv.decode, "
+            "which routes long trellises to the XLA scan backend."
+        )
     TILE_B = _tile_b(steps_pad)
     b_pad = -(-b // TILE_B) * TILE_B
     # pad steps with strong zero-bit LLRs (state 0 self-loop emits 00, so

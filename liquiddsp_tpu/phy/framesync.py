@@ -71,6 +71,11 @@ class FrameResults:
     rssi: jax.Array  # [B, K] float32 — estimated gain (dB)
     cfo: jax.Array  # [B, K] float32 — carrier offset estimate (rad/sample)
     start: jax.Array  # [B, K] int32 — frame start sample
+    # host-side 2^30 base of ``start`` for long streams: absolute sample
+    # index = epoch + start. Static (aux) pytree data — always 0 inside
+    # device programs; StreamingRx stamps the true value on each returned
+    # result so multi-result calls (push/run) stay exactly-once safe.
+    epoch: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 # ---------------------------------------------------------------------------

@@ -133,4 +133,7 @@ class ShardedStreamingRx:
         res, metrics = self._step(window, base)
         self._carry = new_carry
         self._consumed += self.chunk_len
-        return res, metrics
+        # stamp this step's epoch on the result (host-side static field):
+        # absolute index = res.epoch + res.start, safe even if the caller
+        # batches several steps before reading self.start_epoch
+        return dataclasses.replace(res, epoch=self.start_epoch), metrics

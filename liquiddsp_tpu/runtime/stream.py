@@ -29,6 +29,20 @@ from liquiddsp_tpu.phy.framesync import FrameResults, framesync_fixed
 from liquiddsp_tpu.utils.device import put_c64
 
 
+# module-level so the compile caches across pushes/instances (a per-call
+# jax.jit(lambda ...) would retrace on every invocation)
+@jax.jit
+def _split_ri(a):
+    return jnp.real(a), jnp.imag(a)
+
+
+@jax.jit
+def _stack_chunks(group):
+    """[B, L] x n -> [B, n, L] inside jit (eager complex layout ops are in
+    the axon poisoned-eager class, CLAUDE.md)."""
+    return jnp.stack(group, axis=1)
+
+
 class StreamingRx:
     """Stateful streaming wrapper around the block framesync.
 
@@ -132,7 +146,11 @@ class StreamingRx:
         # step cost a second dispatch per chunk)
         res, self._carry = self._step(self._carry, chunk, self._base())
         self._samples_consumed += self.chunk_len
-        return res
+        # stamp the epoch this step ran under on the result itself (host-side
+        # static field) so multi-step calls (push/run) return results that
+        # are individually absolute-index safe: abs = res.epoch + res.start.
+        # self.start_epoch only reflects the LAST step of such a call.
+        return dataclasses.replace(res, epoch=self.start_epoch)
 
     def push(self, samples: np.ndarray | jax.Array) -> list[FrameResults]:
         """GR-style arbitrary chunking (the reference contract feeds
@@ -141,6 +159,10 @@ class StreamingRx:
         fixed-size step whenever a full ``chunk_len`` has accumulated.
         Returns the FrameResults of every step completed by this push
         (possibly empty — no device work happens until a step is full).
+        Each result carries the epoch of ITS step in ``res.epoch``
+        (absolute index = ``res.epoch + res.start``) — do not use
+        ``self.start_epoch`` for multi-result calls, it only reflects the
+        last step.
 
         The accumulator is NOT the overlap carry: it only quantizes arrival
         sizes up to the compiled step size; boundary-straddle semantics are
@@ -148,7 +170,7 @@ class StreamingRx:
         if isinstance(samples, jax.Array):
             # complex64 device->host fetches are UNIMPLEMENTED on axon
             # (CLAUDE.md) — pull f32 real/imag planes separately
-            re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(samples)
+            re, im = _split_ri(samples)
             samples = (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
         else:
             samples = np.asarray(samples)
@@ -193,7 +215,9 @@ class StreamingRx:
 
         Returns:
           FrameResults stacked on a leading chunk axis — every field is
-          ``[N, B, K, ...]``; ``start`` is the absolute stream sample index.
+          ``[N, B, K, ...]``; ``start`` is relative to ``res.epoch`` (==
+          ``self.start_epoch`` at launch time; one epoch covers the whole
+          launch): absolute index = ``res.epoch + start``.
         """
         if chunks.ndim == 2:
             b, t = chunks.shape
@@ -201,10 +225,14 @@ class StreamingRx:
             chunks = chunks.reshape(b, t // self.chunk_len, self.chunk_len)
         assert chunks.shape[0] == self.batch and chunks.shape[2] == self.chunk_len
         n = chunks.shape[1]
-        assert n * self.chunk_len < (1 << 30), "launch exceeds one start epoch"
+        # base0 can sit up to 2^30 into the current epoch; bound the largest
+        # in-launch index (base0 + n*chunk_len + window) below int32 max
+        assert n * self.chunk_len + self.frame_samples < (1 << 30), (
+            "launch exceeds one start epoch"
+        )
         res, self._carry = self._superstep(self._carry, chunks, self._base())
         self._samples_consumed += n * self.chunk_len
-        return res
+        return dataclasses.replace(res, epoch=self.start_epoch)
 
     def run(
         self, stream: np.ndarray | jax.Array, chunks_per_launch: int = 1
@@ -240,7 +268,7 @@ class StreamingRx:
         n_full = (len(chunks) // chunks_per_launch) * chunks_per_launch
         for g in range(0, n_full, chunks_per_launch):
             group = chunks[g : g + chunks_per_launch]
-            stacked = self.superstep(jnp.stack(group, axis=1))
+            stacked = self.superstep(_stack_chunks(group))
             out.extend(split_results(stacked, len(group)))
         # short tail rides the already-compiled per-chunk step — a scan of a
         # different static length would recompile the whole RX pipeline
