@@ -292,9 +292,13 @@ def main():
             continue
         cfg = FrameConfig(mod, inner, outer, args.payload_len)
         for snr in SNR_GRID:
+            import zlib
+
             det, hdr, ok = run_point(
                 jax, jnp, cfg, snr, args.trials,
-                seed=hash((label, snr)) % (1 << 31), impair=impair,
+                # stable across processes (builtin hash is salted per run)
+                seed=zlib.crc32(f"{label}:{snr}".encode()) % (1 << 31),
+                impair=impair,
             )
             rec = {
                 "config": label,

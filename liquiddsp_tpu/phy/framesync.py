@@ -410,45 +410,113 @@ def _chol_solve_spd(M: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
-def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-2) -> jax.Array:
+def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-3) -> jax.Array:
     """Train a symbol-spaced linear equalizer on known reference symbols.
 
     liquid's flexframesync adapts an LMS equalizer sample-by-sample through
     the preamble/header (SURVEY.md section 2.2 flexframesync row); a
-    sequential LMS is a poor TPU shape, so this solves the same Wiener
-    problem in closed form: regularized least squares over all training
-    symbols at once, batched over [B, K] candidates.
+    sequential LMS is a poor TPU shape. Round 1-4 solved the *direct*
+    Wiener problem (LS of reference on received); that estimator overfits
+    the FIXED training sequences' self-correlations — the preamble is one
+    deterministic m-sequence and the header is near-deterministic, so the
+    LS exploits their nonzero lag correlations to reconstruct training
+    gain through spread taps that act as pure ISI (~2% of signal power)
+    plus a P/(P+sigma^2) payload gain collapse on the random payload.
+    Measured r5 (bench/FER_LADDER.json): ~0.5 dB of AWGN implementation
+    loss, the dominant term of the FER-vs-theory gap.
 
-        w = argmin sum_n |sum_t w[t] r[n+c-t] - d[n]|^2 + lam |w - delta|^2
+    This is the *indirect* (estimate-then-invert) design, which has none
+    of those pathologies:
 
-    The regularizer biases toward the identity filter (delta at the center
-    tap), so in a clean AWGN channel the equalizer costs almost nothing
-    (w -> delta as the data term vanishes) while under ISI the data term
-    dominates and w converges to the LS inverse. The complex normal
-    equations are solved via the real 2Lx2L embedding (TPU-friendly; no
-    complex linalg on the backend).
+    1. *Channel estimate*: LS of received on the KNOWN CLEAN reference,
+       syms[m] = sum_t h[t] ref[m+c-t] + noise. Regressors are noiseless,
+       so there is no errors-in-variables shrinkage and noise can only
+       enter h with variance sigma^2 tr((D^H D)^-1) ~ sigma^2 L/N.
+    2. *Model-order gate* (positive-part James-Stein) on the ISI taps
+       only: h' = h_c delta + kappa (h - h_c delta), kappa = (1 -
+       null/|isi|)_+ with null = sigma^2 (L-1)/(N P) the pure-noise
+       expectation. On clean AWGN kappa -> 0 (identity channel, EQ
+       becomes exact passthrough); under a real echo |isi| >> null and
+       kappa -> 1. The lag-0 tap h_c (2 real params, noise ~sigma^2/N) is
+       always kept: it corrects the detector's noise-biased gamma and any
+       residual constant phase — the QAM grids decide on absolute scale.
+    3. *Ensemble MMSE inverse*: w solves (P R + sigma^2 I) w = P conj(hbar)
+       where R[i,j] = sum_m h'[m] conj(h'[m - (i-j)]) is the channel
+       autocorrelation implied by h' (ensemble quantities — no sample
+       correlations anywhere) and hbar[i] = h'[2c-i] (both h' and w use
+       the centered tap convention of _eq_apply).
+    4. *Unbiasing*: MMSE output gain under the model is
+       g0 = sum_t w[t] h'[c-t] < 1 (Wiener shrinkage); w /= g0 restores
+       the unit decision scale.
 
     ``ref``: [n_ref] or [..., n_ref] known symbols aligned with
-    ``syms[..., :n_ref]``. Returns taps [..., EQ_TAPS].
+    ``syms[..., :n_ref]``. Returns taps [..., EQ_TAPS] for _eq_apply.
     """
     L = EQ_TAPS
     c = L // 2
-    n0 = L - 1 - c  # first row whose full regressor window exists
+    n0 = L - 1 - c
     n_ref = ref.shape[-1]
-    rows = n_ref - n0
-    # A[n, t] = syms[n0 + n + c - t]
-    A = jnp.stack(
-        [syms[..., n0 + c - t : n0 + c - t + rows] for t in range(L)], axis=-1
+    rows = n_ref - L + 1  # targets m = n0 .. n_ref-1-c: full regressor span
+    ref_b = jnp.broadcast_to(ref, syms.shape[:-1] + (n_ref,))
+    # D[n, t] = ref[n0 + n + c - t]; y[n] = syms[n0 + n]
+    D = jnp.stack(
+        [ref_b[..., n0 + c - t : n0 + c - t + rows] for t in range(L)], axis=-1
     )  # [..., rows, L]
-    d = jnp.broadcast_to(ref[..., n0:], A.shape[:-1])
-    G = jnp.einsum("...nl,...nm->...lm", jnp.conj(A), A)
-    rhs = jnp.einsum("...nl,...n->...l", jnp.conj(A), d)
+    y = syms[..., n0 : n0 + rows]
+    G = jnp.einsum("...nl,...nm->...lm", jnp.conj(D), D)
+    rhs = jnp.einsum("...nl,...n->...l", jnp.conj(D), y)
     diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
-    lam = lam_rel * jnp.mean(diag, axis=-1)  # [...]
-    delta = jnp.zeros((L,), dtype=G.dtype).at[c].set(1.0)
+    lam = lam_rel * jnp.maximum(jnp.mean(diag, axis=-1), 1e-12)
     G = G + (lam[..., None, None] * jnp.eye(L, dtype=G.dtype))
-    rhs = rhs + lam[..., None] * delta
-    # real 2Lx2L embedding of the Hermitian system G w = rhs
+    h = _solve_hermitian(G, rhs)  # [..., L] channel estimate
+
+    # noise estimate from the channel-fit residual (bias-corrected)
+    resid = y - jnp.einsum("...nl,...l->...n", D, h)
+    sigma2 = jnp.mean(jnp.abs(resid) ** 2, axis=-1) * (rows / max(rows - L, 1))
+    p_train = jnp.maximum(jnp.mean(jnp.abs(ref_b) ** 2, axis=-1), 1e-12)
+
+    # James-Stein gate on the ISI taps (lag-0 always kept)
+    delta = jnp.zeros((L,), dtype=h.dtype).at[c].set(1.0)
+    hc = h[..., c]
+    e = h - hc[..., None] * delta
+    isi = jnp.sum(jnp.abs(e) ** 2, axis=-1)
+    null = sigma2 * ((L - 1) / rows) / p_train
+    kappa = jnp.clip(1.0 - null / jnp.maximum(isi, 1e-20), 0.0, 1.0)
+    h = hc[..., None] * delta + kappa[..., None].astype(h.dtype) * e
+
+    # ensemble MMSE equalizer for (h, sigma2): M w = rhs_w with
+    # M[i, j] = P R[i - j] + sigma2 I, rhs_w[i] = P conj(h[c - i])
+    hp = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(L, 2 * L - 1)])  # safe lags
+    R = jnp.stack(
+        [
+            jnp.sum(
+                hp[..., L : 3 * L] * jnp.conj(hp[..., L - k : 3 * L - k]), axis=-1
+            )
+            for k in range(-(L - 1), L)
+        ],
+        axis=-1,
+    )  # [..., 2L-1], R[k + L-1] = sum_m h[m] conj(h[m-k])
+    ii = np.arange(L)
+    M = (
+        p_train[..., None, None] * R[..., (ii[:, None] - ii[None, :]) + L - 1]
+        + sigma2[..., None, None] * jnp.eye(L, dtype=h.dtype)
+    )
+    # h is estimated in the same centered convention as w (tap t multiplies
+    # a (t - c)-delayed symbol), so the equalizer cascade's signal path is
+    # h[2c - i]: hbar[i] = h[2c - i], i = 0..L-1 (zero outside [0, L))
+    hbar = jnp.flip(hp[..., 2 * c + 1 : 2 * c + 1 + L], axis=-1)
+    w = _solve_hermitian(M, p_train[..., None] * jnp.conj(hbar))
+
+    # unbias the signal-path gain (decision devices need unit scale)
+    g0 = jnp.sum(w * hbar, axis=-1)
+    g0 = jnp.where(jnp.abs(g0) > 1e-3, g0, 1.0)
+    return (w / g0[..., None]).astype(jnp.complex64)
+
+
+def _solve_hermitian(G: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve the Hermitian-PSD complex system G w = rhs, batched, via the
+    real 2Lx2L embedding + unrolled Cholesky (no complex linalg on TPU)."""
+    L = G.shape[-1]
     Gr, Gi = jnp.real(G), jnp.imag(G)
     M = jnp.concatenate(
         [
@@ -456,7 +524,7 @@ def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-2) -> jax.Arr
             jnp.concatenate([Gi, Gr], axis=-1),
         ],
         axis=-2,
-    )  # [..., 2L, 2L]
+    )
     b = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)], axis=-1)
     w = _chol_solve_spd(M, b)
     return (w[..., :L] + 1j * w[..., L:]).astype(jnp.complex64)
@@ -585,10 +653,17 @@ def sync_common(
     timing_bank: bool = True,
     equalize: bool = True,
     track_sfo: bool | str = "auto",
+    det_override: Detections | None = None,
+    fine: bool = True,
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields, header EVM). ``n_syms`` is the static
     symbol-buffer size (the longest frame the caller expects).
+
+    ``det_override`` replaces the detector stage with externally supplied
+    candidates (genie-aided characterization, bench/fer_ladder.py);
+    ``fine=False`` skips the per-frame fine-CFO refinement (used with exact
+    genie dphi, where the refinement could only add estimation noise).
 
     One window extraction serves both the fine CFO estimate (from the
     preamble prefix of each frame window) and symbol recovery; the header
@@ -604,7 +679,9 @@ def sync_common(
     from liquiddsp_tpu.kernels.extract import extract_windows
     from liquiddsp_tpu.phy.detector import TEMPLATE_LEN, fine_cfo
 
-    det = detect(x, max_frames, threshold, fine=False)
+    det = det_override if det_override is not None else detect(
+        x, max_frames, threshold, fine=False
+    )
     n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
     if track_sfo == "auto":
         # sample-clock drift only walks off the symbol grid on long frames:
@@ -618,12 +695,13 @@ def sync_common(
         from liquiddsp_tpu.kernels.recover import recover_symbols_planes
 
         wr, wi = extract_windows(x, det.start, n_samples, return_planes=True)
-        pre = (wr[..., :TEMPLATE_LEN] + 1j * wi[..., :TEMPLATE_LEN]).astype(
-            jnp.complex64
-        )
-        det = dataclasses.replace(
-            det, dphi=det.dphi + fine_cfo(pre, det.dphi, det.tau)
-        )
+        if fine:
+            pre = (wr[..., :TEMPLATE_LEN] + 1j * wi[..., :TEMPLATE_LEN]).astype(
+                jnp.complex64
+            )
+            det = dataclasses.replace(
+                det, dphi=det.dphi + fine_cfo(pre, det.dphi, det.tau)
+            )
         syms = recover_symbols_planes(
             wr, wi, det.dphi, det.phi, det.gamma,
             _candidate_taps30(det, timing_bank), n_syms,
@@ -631,9 +709,11 @@ def sync_common(
         )
     else:
         win = extract_windows(x, det.start, n_samples)
-        det = dataclasses.replace(
-            det, dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi, det.tau)
-        )
+        if fine:
+            det = dataclasses.replace(
+                det,
+                dphi=det.dphi + fine_cfo(win[..., :TEMPLATE_LEN], det.dphi, det.tau),
+            )
         if track_sfo:
             syms = _sfo_recover(win, det, n_syms)
         else:
@@ -845,21 +925,31 @@ def framesync_fixed(
     timing_bank: bool = True,
     equalize: bool = True,
     track_sfo: bool | str = "auto",
+    det_override: Detections | None = None,
+    fine: bool = True,
+    track: bool = True,
+    noise_var_override: jax.Array | float | None = None,
 ) -> FrameResults:
     """Full RX for blocks known to carry frames of one static config.
 
     [B, T] samples -> FrameResults with [B, K] slots. Frames straddling the
     block end are not decoded (handled by the streaming runtime's overlap
     carry — runtime/stream.py).
+
+    The genie hooks (``det_override``/``fine``/``track``/
+    ``noise_var_override``) exist for stage-attribution characterization
+    (bench/fer_ladder.py) — production callers leave them at defaults.
     """
     spec = fs.FrameSpec(cfg)
     det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync_common(
-        x, spec.frame_syms, max_frames, threshold, refine, timing_bank, equalize, track_sfo
+        x, spec.frame_syms, max_frames, threshold, refine, timing_bank,
+        equalize, track_sfo, det_override=det_override, fine=fine,
     )
 
     # payload: static config path, LLRs scaled by the per-frame EVM-derived
     # noise variance (framesyncstats analog; lib/flex_rx_impl.cc:198)
-    payload, crc_ok = decode_payload_symbols(syms, cfg, noise_var=evm_lin)
+    nv = evm_lin if noise_var_override is None else noise_var_override
+    payload, crc_ok = decode_payload_symbols(syms, cfg, track=track, noise_var=nv)
     pay_valid = crc_ok & hdr_valid
 
     evm = 10.0 * jnp.log10(jnp.maximum(evm_lin, 1e-12))
