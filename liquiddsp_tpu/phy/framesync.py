@@ -507,10 +507,26 @@ def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-3) -> jax.Arr
     hbar = jnp.flip(hp[..., 2 * c + 1 : 2 * c + 1 + L], axis=-1)
     w = _solve_hermitian(M, p_train[..., None] * jnp.conj(hbar))
 
-    # unbias the signal-path gain (decision devices need unit scale)
+    # unbias the signal-path gain (decision devices need unit scale).
+    # |g0| is clamped to [1/2, 2]: a sane channel never needs more (an
+    # 0.4 echo leaves h_c ~ 1), while a DEcohered fit (see below) can
+    # collapse h_c and the raw 1/g0 then blew symbol buffers up 4x.
     g0 = jnp.sum(w * hbar, axis=-1)
-    g0 = jnp.where(jnp.abs(g0) > 1e-3, g0, 1.0)
-    return (w / g0[..., None]).astype(jnp.complex64)
+    g0m = jnp.clip(jnp.abs(g0), 0.5, 2.0)
+    g0 = jnp.where(jnp.abs(g0) > 1e-3, g0 / jnp.abs(g0), 1.0) * g0m
+    w = w / g0[..., None]
+
+    # model-sanity gate: when the LTI fit leaves most of the signal power
+    # unexplained (sigma2 >~ 0.6 P only happens when the channel is
+    # OUTSIDE the model class — e.g. a fast carrier ramp left by an
+    # upstream carrier-fit branch slip decoheres every tap), no FIR taps
+    # are trustworthy. Fall back to the identity: the per-segment payload
+    # tracker downstream handles arbitrary smooth phase ramps, but only
+    # if the equalizer has not scrambled the buffer first (measured r5:
+    # 2.5 dB V27 frames with |syms| amplified 4x and EVM ~4 vs the 0.28
+    # channel noise).
+    bad = sigma2 > 0.6 * p_train
+    return jnp.where(bad[..., None], delta, w).astype(jnp.complex64)
 
 
 def _solve_hermitian(G: jax.Array, rhs: jax.Array) -> jax.Array:
@@ -734,6 +750,21 @@ def sync_common(
         c = EQ_TAPS // 2
         hdr_region = _eq_apply(w1, syms[..., : h1 + c], n_out=h1)
         raw_region = syms[..., :h1]
+        # absolute phase at the preamble tail of the EQ1 stream (known
+        # symbols — no modular ambiguity): anchors the tracked header
+        # branch independently of the linear carrier fit, which is the
+        # component that breaks under sub-frame fading
+        qp1 = jnp.sum(
+            hdr_region[..., h0 - 32 : h0 - 16] * jnp.conj(pre_ref[-32:-16]), axis=-1
+        )
+        qp2 = jnp.sum(
+            hdr_region[..., h0 - 16 : h0] * jnp.conj(pre_ref[-16:]), axis=-1
+        )
+        slope_pre = jnp.angle(qp2 * jnp.conj(qp1)) / 16.0  # rad/symbol
+        # extrapolate to the center of the first tracked header segment
+        # (seg=18): 8 symbols from the qp2 center to h0, +9 into the header
+        anchor_pre = jnp.angle(qp2) + slope_pre * (8.0 + 9.0)
+        hdr_pre_fit = hdr_region  # EQ1 stream before any carrier model
         if refine:
             # Fit the carrier model per branch: the raw branch's fit (and
             # thus its header decode) is bit-identical to the equalize=False
@@ -753,18 +784,40 @@ def sync_common(
         (v_raw, u_raw, pl_raw, m_raw, i_raw, o_raw), hb_raw = decode_header_full(
             raw_region[..., h0:h1]
         )
-        hdr_valid = v_eq | v_raw
-        pick = v_eq
-        user = jnp.where(pick[..., None], u_eq, u_raw)
-        plen = jnp.where(pick, pl_eq, pl_raw)
-        mod = jnp.where(pick, m_eq, m_raw)
-        inner = jnp.where(pick, i_eq, i_raw)
-        outer = jnp.where(pick, o_eq, o_raw)
-        hdr_bytes = jnp.where(pick[..., None], hb_eq, hb_raw)
+        # third branch: per-segment tracked header (the linear carrier
+        # model breaks when gain/phase wander WITHIN the header — the
+        # sub-frame-coherence fading regime; measured r4 as a ~40% header
+        # outage floor on the tc0.5 rows). _dd_phase_track's unwrapped
+        # V&V trajectory + DD complex-gain follows the wander, running on
+        # the pre-fit EQ1 stream with the absolute preamble anchor (so a
+        # fading-corrupted global fit cannot slip the whole branch); CRC24
+        # arbitrates, so a static channel can only gain (accept any pass).
+        hdr_trk = _dd_phase_track(
+            hdr_pre_fit[..., h0:h1], fs.HEADER_MOD, seg=18,
+            anchor=anchor_pre, anchor_slope=slope_pre,
+        )
+        (v_trk, u_trk, pl_trk, m_trk, i_trk, o_trk), hb_trk = decode_header_full(
+            hdr_trk
+        )
+        hdr_valid = v_eq | v_raw | v_trk
+        pick = v_eq  # prefer the equalized decode, then raw, then tracked
+        p_raw = (~v_eq) & v_raw
+        pick3 = lambda a, b, c: jnp.where(pick, a, jnp.where(p_raw, b, c))
+        pick3v = lambda a, b, c: jnp.where(
+            pick[..., None], a, jnp.where(p_raw[..., None], b, c)
+        )
+        user = pick3v(u_eq, u_raw, u_trk)
+        plen = pick3(pl_eq, pl_raw, pl_trk)
+        mod = pick3(m_eq, m_raw, m_trk)
+        inner = pick3(i_eq, i_raw, i_trk)
+        outer = pick3(o_eq, o_raw, o_trk)
+        hdr_bytes = pick3v(hb_eq, hb_raw, hb_trk)
         if refine:
-            # derotate the full stream with the winning branch's fit
-            phi_b = jnp.where(pick, fit_eq[0], fit_raw[0])
-            dphi = jnp.where(pick, fit_eq[1], fit_raw[1])
+            # derotate the full stream with the winning branch's fit (the
+            # tracked branch rides the EQ branch's fit)
+            use_eq_fit = pick | (~p_raw)
+            phi_b = jnp.where(use_eq_fit, fit_eq[0], fit_raw[0])
+            dphi = jnp.where(use_eq_fit, fit_eq[1], fit_raw[1])
             syms = _apply_carrier(syms, phi_b, dphi)
         hdr_ref = _header_reference_symbols(hdr_bytes)  # [B, K, 180]
         refs = jnp.concatenate(
@@ -786,7 +839,14 @@ def sync_common(
     return det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin
 
 
-def _dd_phase_track(pay: jax.Array, mod: int, seg: int = 64, iters: int = 2) -> jax.Array:
+def _dd_phase_track(
+    pay: jax.Array,
+    mod: int,
+    seg: int = 64,
+    iters: int = 2,
+    anchor: jax.Array | float = 0.0,
+    anchor_slope: jax.Array | float = 0.0,
+) -> jax.Array:
     """Decision-directed segment-wise carrier tracking over payload symbols.
 
     The header-based refinement (_refine_carrier) extrapolates a linear
@@ -842,41 +902,163 @@ def _dd_phase_track(pay: jax.Array, mod: int, seg: int = 64, iters: int = 2) -> 
     # slip risk: 5-sigma residual slope after the decision-free refine
     # (~2.7e-4 rad/sym sigma at the lowest workable SNR) over the payload
     drift_5sigma = 1.4e-3 * n
+    # weak-moment (QAM/ASK) V&V quality: the m-th-power modulation
+    # self-noise of the GLOBAL fit scales as 1/(|moment| sqrt(n)) — even
+    # noiseless. Require |moment| sqrt(n) >= 3 or the fit injects more
+    # phase error than it removes (cross-QAM32 at 197 symbols measured
+    # 1.25: a noiseless roundtrip FAILED with the fit enabled).
     use_vv = (
         nseg >= 2
         and drift_5sigma > sym_rot / 8
-        and (abs(moment) > 0.9 or nseg >= 6)
+        and (abs(moment) > 0.9 or abs(moment) * np.sqrt(n) >= 3.0)
     )
 
     p = jnp.pad(pay, lead_shape + [(0, pad)])
     p = p.reshape(pay.shape[:-1] + (nseg, seg))
 
     if use_vv:
-        # pass 1: decision-free V&V linear fit (a + slope*i), per-symbol ramp
+        # pass 1: decision-free per-segment V&V phase trajectory, unwrapped
+        # across segments by continuity. Round 1-4 fit a LINEAR model
+        # (offset + slope) through the segment statistics — right for a
+        # residual-CFO ramp, wrong for the nonlinear phase wander of
+        # sub-frame-coherence fading (the tc0.5 scope boundary,
+        # bench/FER_SWEEP.json). The trajectory form subsumes the line:
+        # theta_i = angle(u_i e^{-j psi})/m is fold-free mod 2pi/m per
+        # segment; the branch of segment i is resolved to the value nearest
+        # the unwrapped theta_{i-1} (valid while the true phase moves
+        # < pi/m per segment — ~2x the headroom of the old slope clip),
+        # anchored at segment 0 by the carrier fit's ~zero residual. The
+        # per-symbol correction interpolates linearly between segment
+        # centers, so smooth fading is tracked through the whole frame
+        # instead of averaged into one slope.
         r_unit = p / jnp.maximum(jnp.abs(p), 1e-12)
         u = jnp.sum(r_unit**m * jnp.abs(p), axis=-1)  # [..., nseg]
-        slope = (
-            jnp.angle(jnp.sum(u[..., 1:] * jnp.conj(u[..., :-1]), axis=-1)) / m
+        th_raw = jnp.angle(u * np.exp(-1j * psi)) / m  # (-pi/m, pi/m]
+        period = sym_rot  # = 2*pi/m
+        # per-segment estimator quality ~ |moment| * sqrt(seg): the
+        # trajectory chain needs each segment's theta individually (PSK
+        # family, |moment| ~ 1); weak-moment QAM/ASK segments are too
+        # noisy individually and take the 2-parameter linear fit below,
+        # which averages the self-noise across ALL segments
+        if abs(moment) <= 0.6:
+            slope = (
+                jnp.angle(jnp.sum(u[..., 1:] * jnp.conj(u[..., :-1]), axis=-1)) / m
+            )  # rad per segment
+            slope = jnp.clip(slope, -sym_rot / 4, sym_rot / 4)
+            detrend = jnp.exp(-1j * m * slope[..., None] * jnp.arange(nseg))
+            a = (jnp.angle(jnp.sum(u * detrend, axis=-1) * np.exp(-1j * psi))) / m
+            t_idx = jnp.arange(nseg * seg, dtype=jnp.float32)
+            phi = a[..., None] + (slope[..., None] / seg) * (
+                t_idx - (seg - 1) / 2.0
+            )
+            flat = p.reshape(pay.shape[:-1] + (nseg * seg,)) * jnp.exp(-1j * phi)
+            n_dd = max(iters - 1, 1)
+            return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd)
+        # ``anchor``: external absolute-phase prediction for the CENTER of
+        # segment 0 (e.g. extrapolated from the header tail,
+        # framesync_fixed) and ``anchor_slope`` its rad/symbol rate —
+        # under sub-frame fading the phase at the payload start is neither
+        # small nor slowly-moving, so "branch nearest 0" (or nearest a
+        # stale anchor) slips whole frames. Branch chaining is
+        # slope-predictive AND confidence-gated: segment i resolves its
+        # fold against th_{prev} + slope (a segment-granular first-order
+        # PLL — the drift consumes the +-period/2 headroom otherwise),
+        # with the slope updated as an EMA over confident increments and
+        # the reference frozen across deep-fade segments (their theta is
+        # noise and must not derail the chain). Branch decisions use a
+        # slope-detrended 1-2-1 smoothing of the neighboring V&V
+        # statistics (coherent in the m*theta domain once the running
+        # slope is removed): ~sqrt(2) lower fold-decision noise, which is
+        # what keeps the chain slip-free at the coded rows' low-SNR
+        # operating points (V27@2.5dB union-bound anchor) without giving
+        # up per-segment agility under fading.
+        conf = jnp.abs(u)
+        thr = 0.35 * jnp.median(conf, axis=-1, keepdims=True)
+        slope = jnp.broadcast_to(
+            jnp.asarray(anchor_slope, jnp.float32) * seg, th_raw[..., 0].shape
         )  # rad per segment
-        slope = jnp.clip(slope, -sym_rot / 4, sym_rot / 4)  # unwrap validity
-        detrend = jnp.exp(-1j * m * slope[..., None] * jnp.arange(nseg))
-        a = (jnp.angle(jnp.sum(u * detrend, axis=-1) * np.exp(-1j * psi))) / m
-        t_idx = jnp.arange(nseg * seg, dtype=jnp.float32)
-        phi = a[..., None] + (slope[..., None] / seg) * (t_idx - (seg - 1) / 2.0)
+        half_p = period / 2.0
+
+        def th_at(i, slope):
+            us = u[..., i]
+            rot = jnp.exp(1j * m * slope)
+            if i > 0:
+                us = us + 0.5 * u[..., i - 1] * rot
+            if i + 1 < nseg:
+                us = us + 0.5 * u[..., i + 1] * jnp.conj(rot)
+            return jnp.angle(us * np.exp(-1j * psi)) / m
+
+        th_0 = th_at(0, slope)
+        b0 = jnp.round((th_0 - anchor) / period)
+        th0 = th_0 - b0 * period
+        th = [th0]
+        good = conf[..., 0] > thr[..., 0]
+        ref = jnp.where(good, th0, jnp.broadcast_to(anchor, th0.shape))
+        for i in range(1, nseg):
+            pred = ref + slope
+            th_raw_i = th_at(i, slope)
+            b = jnp.round((th_raw_i - pred) / period)
+            th_i = th_raw_i - b * period
+            th.append(th_i)
+            good_i = conf[..., i] > thr[..., 0]
+            inc = jnp.clip(th_i - ref, -1.2 * half_p, 1.2 * half_p)
+            both = good & good_i
+            slope = jnp.where(both, 0.5 * slope + 0.5 * inc, slope)
+            ref = jnp.where(good_i, th_i, ref + slope)
+            good = good_i
+        th = jnp.stack(th, axis=-1)  # [..., nseg] unwrapped
+        # piecewise-linear interpolation between segment centers (static
+        # gather indices — no data-dependent control flow)
+        t_pos = (np.arange(nseg * seg, dtype=np.float32) - (seg - 1) / 2.0) / seg
+        j_lo = np.clip(np.floor(t_pos).astype(np.int32), 0, nseg - 2)
+        fr = jnp.asarray(np.clip(t_pos - j_lo, 0.0, 1.0), dtype=jnp.float32)
+        phi = th[..., j_lo] * (1.0 - fr) + th[..., j_lo + 1] * fr
         flat = p.reshape(pay.shape[:-1] + (nseg * seg,)) * jnp.exp(-1j * phi)
         n_dd = max(iters - 1, 1)
     else:
         flat = p.reshape(pay.shape[:-1] + (nseg * seg,))
         n_dd = iters
 
-    # remaining passes: independent per-segment DD correction (residual
-    # now well inside the decision regions)
+    return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd)
+
+
+def _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd, dd_seg=None):
+    """Independent per-segment decision-directed COMPLEX GAIN passes
+    (residual assumed well inside the decision regions).
+
+    ``dd_seg``: segment size for these cleanup passes (defaults to the
+    V&V grid ``seg``); a coarser DD grid halves the per-segment estimate
+    noise at the coded rows' low-SNR operating points while the V&V stage
+    has already removed the fast wander.
+
+    The LS gain g = <p, d>/<d, d> corrects phase AND amplitude — a
+    per-segment flat-fading tracker: amplitude matters for the QAM
+    decision grids under fading/ramps (r4's phase-only rotation left the
+    grid scaled by the faded gain). |g| is clamped to [1/4, 4] so a
+    deep-null segment (garbage estimate) cannot blow up the symbols.
+    The tail segment is zero-padded: decisions OF the pad are nonzero
+    constellation points, so the gain denominator counts only real
+    symbols (an unmasked pad collapsed |g| and the clamp then scaled the
+    tail's real symbols 4x — QAM frames died; caught by FER_LADDER).
+    """
+    if dd_seg and dd_seg != seg:
+        seg = dd_seg
+        nseg = -(-n // seg)
+        lead = [(0, 0)] * (flat.ndim - 1)
+        flat = jnp.pad(flat[..., :n], lead + [(0, nseg * seg - n)])
+    valid = jnp.asarray(
+        (np.arange(nseg * seg) < n).reshape(nseg, seg).astype(np.float32)
+    )
     for _ in range(n_dd):
         p = flat.reshape(pay.shape[:-1] + (nseg, seg))
         idx = modem.demod_hard(p, mod)
-        e = jnp.sum(p * jnp.conj(table[idx]), axis=-1)  # [..., nseg]
-        rot = jnp.exp(-1j * jnp.angle(e))[..., None]
-        flat = (p * rot).reshape(pay.shape[:-1] + (nseg * seg,))
+        d = table[idx] * valid
+        e = jnp.sum(p * jnp.conj(d), axis=-1)  # [..., nseg]
+        pd = jnp.maximum(jnp.sum(jnp.abs(d) ** 2, axis=-1), 1e-12)
+        g = e / pd
+        mag = jnp.clip(jnp.abs(g), 0.25, 4.0)
+        g = jnp.where(jnp.abs(g) > 1e-6, g / jnp.abs(g), 1.0) * mag
+        flat = (p / g[..., None]).reshape(pay.shape[:-1] + (nseg * seg,))
     return flat[..., :n]
 
 
@@ -885,6 +1067,8 @@ def decode_payload_symbols(
     cfg: FrameConfig,
     track: bool = True,
     noise_var: jax.Array | float | None = None,
+    anchor: jax.Array | None = None,
+    anchor_slope: jax.Array | float = 0.0,
 ):
     """Static-config payload back-end: symbols [.., n_syms >= frame_syms] ->
     (payload bytes [..., payload_len], crc_ok bool[...]).
@@ -895,12 +1079,57 @@ def decode_payload_symbols(
     The max-log Viterbi path metric is invariant to a uniform LLR scale, so
     this only matters for future soft-combining consumers, but the estimate
     is the principled one (the old constant 0.1 was a tuning point).
+
+    ``anchor``: absolute phase at the payload start (symbol h1) for the
+    payload tracker's segment-0 branch, with ``anchor_slope`` its
+    rad/symbol rate (see framesync_fixed, which reconstructs both from the
+    re-encoded decoded header — exact and ambiguity-free whenever the
+    header decoded). Without it, a V&V estimate of the header tail is used
+    (fold-free only while the residual there is < pi/4).
     """
     spec = fs.FrameSpec(cfg)
     h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
     pay = syms[..., h1 : h1 + spec.payload_syms]
     if track:
-        pay = _dd_phase_track(pay, cfg.modulation)
+        if anchor is None:
+            # header-tail V&V anchor (always QPSK, m=4): chains the payload
+            # trajectory to the last known-good phase instead of assuming
+            # the carrier fit still holds at the payload start (it does
+            # not under sub-frame-coherence fading)
+            tail = syms[..., h1 - 40 : h1]
+            ut = jnp.sum(
+                (tail / jnp.maximum(jnp.abs(tail), 1e-12)) ** 4 * jnp.abs(tail),
+                axis=-1,
+            )
+            tab4 = modem.constellation(fs.HEADER_MOD)
+            psi4 = float(
+                np.angle(np.mean((tab4 / np.abs(tab4)) ** 4 * np.abs(tab4)))
+            )
+            anchor = jnp.angle(ut * np.exp(-1j * psi4)) / 4.0
+        # Pre-derotate the payload by the measured header-exit line
+        # (anchor phase + slope): the residual the tracker sees then
+        # starts at ~zero phase and ~zero slope, so its fold-resolution
+        # chain never has to absorb a large handoff (a carrier-fit pi/2
+        # branch slip leaves a pi/2-per-152-symbols ramp; handing that to
+        # the chain as an initial condition was measurably fragile at the
+        # coded rows' 2.5 dB operating point). Slope noise extrapolates
+        # to ~0.35 rad at the end of a 268-symbol payload worst-case —
+        # well inside the chain's per-segment headroom, and the V&V
+        # estimates are unbiased so it is tracked right back out.
+        t_rel = jnp.arange(pay.shape[-1], dtype=jnp.float32)
+        line = anchor[..., None] + jnp.asarray(anchor_slope, jnp.float32)[
+            ..., None
+        ] * t_rel
+        pay = pay * jnp.exp(-1j * line)
+        # Segment size 32: fine enough that sub-frame fading (coherence
+        # down to ~0.5 frame) moves the phase well under pi/m between
+        # segment centers, while the per-segment V&V estimate stays usable
+        # at the coded rows' low-SNR operating points (seg=16 measured a
+        # further ~0.05 FER gain on the tc0.5 row at 20 dB but broke the
+        # V27 union-bound anchor at 2.5 dB via branch slips — robustness
+        # across the SNR range wins). AWGN cost vs seg=64: nil
+        # (FER_LADDER).
+        pay = _dd_phase_track(pay, cfg.modulation, seg=32)
     if noise_var is None:
         noise_var = 0.1
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-4)
@@ -949,7 +1178,39 @@ def framesync_fixed(
     # payload: static config path, LLRs scaled by the per-frame EVM-derived
     # noise variance (framesyncstats analog; lib/flex_rx_impl.cc:198)
     nv = evm_lin if noise_var_override is None else noise_var_override
-    payload, crc_ok = decode_payload_symbols(syms, cfg, track=track, noise_var=nv)
+
+    # absolute payload-tracker anchor: rebuild the TX header symbols from
+    # the DECODED header fields (user + len + config + CRC24 -> Golay ->
+    # QPSK — bit-exact when header_valid) and correlate against the header
+    # tail. Exact and fold-free, unlike a V&V tail estimate, so a fading
+    # frame whose phase wandered > pi/4 by the payload start cannot slip
+    # the whole payload trajectory. Garbage when the header failed, where
+    # the payload is moot anyway.
+    h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
+    proto = jnp.stack(
+        [(plen >> 8) & 0xFF, plen & 0xFF, mod, inner, outer], axis=-1
+    ).astype(jnp.uint8)
+    hdr22 = crc.crc24_append(jnp.concatenate([user, proto], axis=-1))
+    hdr_ref = _header_reference_symbols(hdr22)
+    # slope from the two 90-symbol header halves (long baseline: a 20-sym
+    # baseline's slope noise at 2.5 dB is ~0.19 rad/segment and the
+    # tracker chain trusting it SLIPPED frames that were fine pre-track);
+    # phase from the last 20 symbols (agile under fading). All absolute
+    # correlations against the re-encoded header — no modular ambiguity.
+    h0_ = h1 - 180
+    u1 = jnp.sum(
+        syms[..., h0_ : h0_ + 90] * jnp.conj(hdr_ref[..., :90]), axis=-1
+    )
+    u2 = jnp.sum(syms[..., h0_ + 90 : h1] * jnp.conj(hdr_ref[..., 90:]), axis=-1)
+    a_slope = jnp.angle(u2 * jnp.conj(u1)) / 90.0  # rad/symbol
+    a_slope = jnp.clip(a_slope, -0.025, 0.025)  # ramp sanity (max residual
+    # from a carrier-fit branch slip ~0.0103; fading ~0.02)
+    q2 = jnp.sum(syms[..., h1 - 20 : h1] * jnp.conj(hdr_ref[..., -20:]), axis=-1)
+    anchor = jnp.angle(q2) + a_slope * 10.0  # extrapolated to h1
+
+    payload, crc_ok = decode_payload_symbols(
+        syms, cfg, track=track, noise_var=nv, anchor=anchor, anchor_slope=a_slope
+    )
     pay_valid = crc_ok & hdr_valid
 
     evm = 10.0 * jnp.log10(jnp.maximum(evm_lin, 1e-12))
