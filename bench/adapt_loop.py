@@ -156,6 +156,7 @@ def _loop(args, jax, jnp, timed: bool):
         for info in infos:
             info_by_ch.setdefault(info["batch"], info)
         nxt = list(cfgs)
+        fbs = []
         for ch in range(b):
             info = info_by_ch.get(ch)
             if info is not None:
@@ -167,7 +168,11 @@ def _loop(args, jax, jnp, timed: bool):
                 m, i, o = cfgs_used[ch]
                 fb = {"header_valid": 0, "payload_valid": 0,
                       "modulation": m, "inner_code": i, "outer_code": o}
-            d = ce.handler(fb)
+            fbs.append(fb)
+        # one vectorized engine pass per generation (fold all arm updates,
+        # refresh CIs once, then the per-channel decisions) — the scalar
+        # per-packet handler was ~16% of loop wall time (VERDICT r4)
+        for ch, d in enumerate(ce.handle_batch(fbs)):
             if d:
                 nxt[ch] = (d["modulation"], d["inner_code"], d["outer_code"])
         cfgs = nxt

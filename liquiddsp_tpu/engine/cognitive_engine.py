@@ -107,6 +107,11 @@ class CognitiveEngineBlock:
         if self.kindicator == "on":
             self.knowledge.compute(self.num_packets, self.contextual_type)
 
+        return self._decide()
+
+    def _decide(self) -> dict:
+        """Run the selected bandit once and log the TX decision (the tail
+        of the reference handler, py:110-149)."""
         args = (self.delayed_feedback, self.delayed_strategy, self.channel)
         if self.ce_type == "epsilon_greedy":
             eps = EPSILON if self.contextual_type == "none" else self.knowledge.c_epsilon
@@ -151,6 +156,65 @@ class CognitiveEngineBlock:
             "inner_code": conf.inner_code,
             "outer_code": conf.outer_code,
         }
+
+    def handle_batch(self, packet_infos: list[dict]) -> list[dict]:
+        """Consume one GENERATION of packet_info dicts in a single
+        vectorized pass; return one next-configuration dict per packet.
+
+        The closed batched loop (bench/adapt_loop.py: 64 channels per
+        generation) spent ~16% of wall time calling :meth:`handler` per
+        packet — each call pays a confidence-interval recompute on
+        1-element arrays (SURVEY.md section 3's 616-arm scan analog). Here
+        every packet's arm update FOLDS first (store._fold_update — the
+        final store state is bit-identical to sequential handler calls,
+        see store.refresh_ci), the CI columns refresh once vectorized over
+        the touched arms, the knowledge indicators compute once per
+        generation, and the per-packet bandit decisions then run against
+        the post-batch state. Decision semantics: all of a generation's
+        decisions see the full generation's feedback (the scalar handler
+        interleaves) — indistinguishable in the closed loop, where
+        feedback is at least one generation delayed anyway.
+        """
+        if self.delayed_feedback != "no_delay":
+            # delayed mode interleaves decisions (which append pending
+            # substituted-reward entries) with reconciliations that pop
+            # them — batching would starve the reconciliation queue and
+            # diverge from the reference protocol. Stay sequential.
+            return [self.handler(info) for info in packet_infos]
+        arms: list[int] = []
+        for info in packet_infos:
+            self.num_packets += 1
+            modulation = int(info["modulation"])
+            inner_code = int(info["inner_code"])
+            outer_code = int(info["outer_code"])
+            payload_valid = float(info["payload_valid"])
+            header_valid = float(info.get("header_valid", 1))
+            cid = make_config_id(modulation, inner_code, outer_code)
+            cmap = ConfigurationMap(modulation, inner_code, outer_code, cid)
+            goodput = (
+                math.log2(cmap.constellationN)
+                * cmap.outercodingrate
+                * cmap.innercodingrate
+                * payload_valid
+            )
+            if modulation >= 0 and inner_code >= 0 and outer_code >= 0:
+                if self.delayed_feedback == "no_delay":
+                    self.store._fold_update(
+                        self.ce_type, cid, header_valid, payload_valid, goodput, 0.0
+                    )
+                    arms.append(cid - 1)
+                else:
+                    # delayed reconciliation pops per-entry state; keep the
+                    # scalar path (refresh per call) for exact parity
+                    self.store.write_delayed_feedback(
+                        self.ce_type, cid, header_valid, payload_valid, goodput
+                    )
+            self.store.write_rx_result(cid, self.num_packets, goodput, payload_valid)
+        if arms:
+            self.store.refresh_ci(arms, self.ce_type)
+        if self.kindicator == "on":
+            self.knowledge.compute(self.num_packets, self.contextual_type)
+        return [self._decide() for _ in packet_infos]
 
     def current_snr_db(self) -> float | None:
         """SNR from the dynamic-noise amplitude (reference py:90-92, 130-131)."""

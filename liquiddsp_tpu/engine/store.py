@@ -162,7 +162,28 @@ class ArmStore:
         passes d_PSR = payload_valid - 2 and d_goodput = goodput - sub_value,
         reference py:225-229): the substituted reward is backed out of the
         running sums before the true reward is folded in.
+
+        Implemented as a cheap sequential fold (:meth:`_fold_update`) plus
+        a confidence-interval refresh (:meth:`refresh_ci`). The CI values
+        depend only on the CURRENT running sums, so a batch of updates may
+        fold first and refresh once — bit-identical final state to N
+        sequential calls (the batched-generation handler's contract,
+        CognitiveEngineBlock.handle_batch).
         """
+        self._fold_update(ce_type, config_id, total, success, throughput, sub_value)
+        self.refresh_ci([config_id - 1], ce_type)
+
+    def _fold_update(
+        self,
+        ce_type: str,
+        config_id: int,
+        total: float,
+        success: float,
+        throughput: float,
+        sub_value: float,
+    ):
+        """Running-sum / mean / variance part of one arm update (everything
+        except the deferred-able CI and Gittins-index columns)."""
         a = config_id - 1
         num_trial = int(self.trial_n[a])
         old_throughput = self.throughput_sum[a]
@@ -181,19 +202,12 @@ class ArmStore:
         else:
             new_sqth = old_sqth + throughput**2
         new_psr = (new_success + 1.0) / (new_total + 2.0)
-        unsuccess = new_trial - new_success
-        lb_p, ub_p = estimators.psr_ci(
-            np.asarray([new_success]), np.asarray([unsuccess])
-        )
-        lb_p, ub_p = float(lb_p[0]), float(ub_p[0])
 
         mean = self.mean_throughput[a]
         variance = self.variance[a]
-        lb_m, ub_m = self.lb_throughput[a], self.ub_throughput[a]
         if new_total == 1:
             mean = new_tp_sum / new_total
             variance = new_sqth / new_total - mean**2
-            lb_m = 0.0  # reference leaves UB at its prior for N=1 (py:269-270)
         elif new_total > 1:
             if self.channel == "stationary" or new_total <= 1.0 / ALPHA:
                 mean = new_tp_sum / new_total
@@ -214,12 +228,6 @@ class ArmStore:
                     old_var = old_sqth / num_trial - old_mean**2
                     variance = (1 - ALPHA) * (old_var + ALPHA * diff**2)
             variance = max(variance, 0.0)
-            maxp = self.upper_bound[a]
-            lo, hi = estimators.throughput_ci(
-                np.asarray([mean]), np.asarray([variance]), np.asarray([maxp]),
-                np.asarray([new_total]),
-            )
-            lb_m, ub_m = float(lo[0]), float(hi[0])
 
         self.trial_n[a] = new_trial
         self.total[a] = new_total
@@ -227,25 +235,53 @@ class ArmStore:
         self.throughput_sum[a] = new_tp_sum
         self.sqth[a] = new_sqth
         self.psr[a] = new_psr
-        self.lb_psr[a] = lb_p
-        self.ub_psr[a] = ub_p
         self.mean_throughput[a] = mean
         self.variance[a] = variance
-        self.lb_throughput[a] = lb_m
-        self.ub_throughput[a] = ub_m
+        if new_total == 1:
+            # reference leaves UB at its prior for N=1 (py:269-270)
+            self.lb_throughput[a] = 0.0
 
-        # per-algorithm table updates (py:304-339)
+        # per-algorithm table updates (py:304-339; CI columns in refresh_ci)
         self.alg_trials[a] = new_total
         self.alg_mean[a] = mean
-        if new_total > 1:
-            self.alg_lower[a] = lb_m
-            self.alg_upper[a] = ub_m
-        if ce_type in ("gittins", "RoTA"):
-            if new_total > 1:
-                stdv = np.sqrt(variance)
-                self.stdv[a] = stdv
-                self.gittins_index[a] = mean + stdv * estimators.gittins_index_normal_unit_var(
-                    new_total, DISCOUNT
+
+    def refresh_ci(self, arms, ce_type: str):
+        """Recompute the confidence-interval (and Gittins) columns for the
+        given arm indices from their CURRENT sums — vectorized over arms.
+
+        Sequential write_configuration calls recompute these on every
+        update, but each recompute reads only the running sums, so only
+        the LAST one per arm survives: folding a batch first and
+        refreshing once is bit-identical (reference py:255-339 column
+        semantics preserved: N=1 keeps the prior throughput UB; the
+        per-algorithm lower/upper and Gittins columns only move past
+        N=1)."""
+        a = np.unique(np.asarray(arms, dtype=np.int64))
+        s = self.success[a]
+        lb_p, ub_p = estimators.psr_ci(s, self.trial_n[a] - s)
+        self.lb_psr[a] = lb_p
+        self.ub_psr[a] = ub_p
+        nt = self.total[a]
+        m2 = nt > 1
+        if m2.any():
+            aa = a[m2]
+            lo, hi = estimators.throughput_ci(
+                self.mean_throughput[aa], self.variance[aa],
+                self.upper_bound[aa], self.total[aa],
+            )
+            self.lb_throughput[aa] = lo
+            self.ub_throughput[aa] = hi
+            self.alg_lower[aa] = lo
+            self.alg_upper[aa] = hi
+            if ce_type in ("gittins", "RoTA"):
+                stdv = np.sqrt(self.variance[aa])
+                self.stdv[aa] = stdv
+                self.gittins_index[aa] = (
+                    self.mean_throughput[aa]
+                    + stdv
+                    * estimators.gittins_index_normal_unit_var(
+                        self.total[aa], DISCOUNT
+                    )
                 )
 
     def write_delayed_feedback(

@@ -168,3 +168,80 @@ class TestKnowledge:
         # LBI (fraction provably suboptimal) is high once learning settles
         # (not strictly monotone packet-to-packet)
         assert 0.5 <= last[1] <= 1.0
+
+
+class TestBatchedHandler:
+    """handle_batch: bit-identical store state to sequential handler calls
+    (the fold-then-refresh-CI contract, store.refresh_ci)."""
+
+    ARM_COLS = [
+        "trial_n", "total", "success", "throughput_sum", "sqth", "psr",
+        "lb_psr", "ub_psr", "mean_throughput", "variance", "lb_throughput",
+        "ub_throughput", "alg_trials", "alg_mean", "alg_lower", "alg_upper",
+        "stdv", "gittins_index",
+    ]
+
+    def _infos(self, rng, n):
+        out = []
+        for _ in range(n):
+            m = int(rng.integers(0, 11))
+            i = int(rng.integers(0, 7))
+            o = int(rng.integers(0, 8))
+            hv = int(rng.random() < 0.9)
+            out.append({
+                "header_valid": hv,
+                "payload_valid": int(hv and rng.random() < 0.7),
+                "modulation": m, "inner_code": i, "outer_code": o,
+            })
+        return out
+
+    @pytest.mark.parametrize("ce_type", ["epsilon_greedy", "gittins", "RoTA"])
+    def test_store_state_parity_with_sequential(self, ce_type):
+        from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+
+        rng = np.random.default_rng(99)
+        infos = self._infos(rng, 64)
+        # repeated arms in one batch: force same-arm sequential folding
+        infos[10:20] = [dict(infos[0]) for _ in range(10)]
+        a = CognitiveEngineBlock(ce_type=ce_type, seed=1)
+        b = CognitiveEngineBlock(ce_type=ce_type, seed=1)
+        for fb in infos:
+            a.handler(fb)
+        b.handle_batch(infos)
+        for col in self.ARM_COLS:
+            np.testing.assert_allclose(
+                getattr(a.store, col), getattr(b.store, col),
+                rtol=1e-12, atol=1e-12, err_msg=col,
+            )
+        assert a.num_packets == b.num_packets
+        assert len(a.store.rx_log) == len(b.store.rx_log)
+        assert len(a.store.tx_log) == len(b.store.tx_log)
+
+    def test_batch_returns_one_decision_per_packet(self):
+        from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+
+        rng = np.random.default_rng(5)
+        ce = CognitiveEngineBlock(seed=3)
+        out = ce.handle_batch(self._infos(rng, 16))
+        assert len(out) == 16
+        for d in out:
+            assert set(d) == {"modulation", "inner_code", "outer_code"}
+
+    def test_delayed_mode_batch_matches_sequential(self):
+        """Delayed feedback interleaves decisions with reconciliations, so
+        handle_batch falls back to per-packet handling there — exact
+        protocol parity by construction."""
+        from liquiddsp_tpu.engine.cognitive_engine import CognitiveEngineBlock
+
+        rng = np.random.default_rng(17)
+        infos = self._infos(rng, 48)
+        a = CognitiveEngineBlock(delayed_feedback="delay", seed=2)
+        b = CognitiveEngineBlock(delayed_feedback="delay", seed=2)
+        for fb in infos:
+            a.handler(fb)
+        b.handle_batch(infos)
+        for col in self.ARM_COLS:
+            np.testing.assert_allclose(
+                getattr(a.store, col), getattr(b.store, col),
+                rtol=1e-12, atol=1e-12, err_msg=col,
+            )
