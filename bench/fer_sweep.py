@@ -122,6 +122,146 @@ def theory_uncoded_fer(modulation: int, payload_len: int, snr_db: float) -> floa
 _V27_AD = {10: 11, 12: 38, 14: 193, 16: 1331, 18: 7275, 20: 40406, 22: 234969}
 
 
+def conv_event_spectrum(inner_code: int, dmax: int = 16) -> dict[int, float]:
+    """Exact error-event distance spectrum {d: a_d} of the framework's OWN
+    punctured (171,133) codes, computed from liquiddsp_tpu's puncture
+    patterns (ops/fec/conv.py PUNCTURE_PATTERNS) by weight-truncated DP
+    over the 64-state trellis — no literature table to mis-transcribe, and
+    it stays correct if the framework's (framework-defined) patterns ever
+    change. a_d is averaged over the puncture-period starting phases (the
+    standard per-position union-bound weighting for punctured codes).
+    """
+    from liquiddsp_tpu.ops.fec.conv import G0, G1, NSTATES, PUNCTURE_PATTERNS
+
+    p0, p1 = PUNCTURE_PATTERNS[inner_code]
+    P = len(p0)
+    # transition/output tables: register = (u << 6) | state, next state =
+    # ((u << 5) | (state >> 1)); outputs = parity(G & register)
+    par = lambda v: bin(v).count("1") & 1
+    nxt = np.zeros((NSTATES, 2), dtype=np.int64)
+    wout = np.zeros((NSTATES, 2, 2), dtype=np.int64)  # [state, u, branch]
+    for s in range(NSTATES):
+        for u in range(2):
+            reg = (u << 6) | s
+            nxt[s, u] = (u << 5) | (s >> 1)
+            wout[s, u, 0] = par(G0 & reg)
+            wout[s, u, 1] = par(G1 & reg)
+
+    events = np.zeros(dmax + 1, dtype=np.float64)
+    max_steps = 80 * P + 80  # weight-<=dmax events are far shorter
+    for phase0 in range(P):
+        # active[s, w] = number of paths currently in nonzero state s with
+        # accumulated (punctured) output weight w
+        active = np.zeros((NSTATES, dmax + 1), dtype=np.float64)
+        w0 = wout[0, 1, 0] * p0[phase0 % P] + wout[0, 1, 1] * p1[phase0 % P]
+        if w0 <= dmax:
+            active[nxt[0, 1], w0] = 1.0  # the diverging branch (u=1)
+        for t in range(1, max_steps):
+            ph = (phase0 + t) % P
+            nact = np.zeros_like(active)
+            for s in range(1, NSTATES):
+                row = active[s]
+                if not row.any():
+                    continue
+                for u in range(2):
+                    w = wout[s, u, 0] * p0[ph] + wout[s, u, 1] * p1[ph]
+                    ns = nxt[s, u]
+                    # shift-accumulate: total weight = branch weight w +
+                    # accumulated path weight (row index)
+                    if ns == 0:
+                        if w:
+                            events[w:] += row[: dmax + 1 - w]
+                        else:
+                            events += row
+                    else:
+                        if w:
+                            nact[ns, w:] += row[: dmax + 1 - w]
+                        else:
+                            nact[ns] += row
+            active = nact
+            if not active.any():
+                break
+    total = {d: float(events[d]) / P for d in range(1, dmax + 1) if events[d] > 0}
+    return total
+
+
+def _pairwise_p2(d_arr, p2_unit):
+    return sum(a * p2_unit(d) for d, a in d_arr.items())
+
+
+def theory_conv_fer_ub(
+    inner_code: int, modulation: int, l_steps: int, snr_db: float,
+    dmax: int = 16,
+) -> float:
+    """Union upper bound on the soft-Viterbi frame-error rate for any
+    (inner punctured code, modulation) row — the coded-row position anchor.
+
+    - BPSK/QPSK (coherent PSK with 1-2 bits/sym): exact soft pairwise error
+      P2(d) = Q(sqrt(2 d Ec/N0)), Ec = Es/bits_per_sym.
+    - Square QAM: P2(d) <= [4 p (1-p)]^(d/2) (Bhattacharyya bound with the
+      exact per-coded-bit hard error probability p of the Gray PAM
+      mapping). Valid chain: soft-ML <= hard-ML <= Bhattacharyya.
+    - An OUTER code can only reduce FER, so the inner bound remains a true
+      (if loose) upper bound for concatenated rows; ``l_steps`` is the
+      inner trellis length in information bits (the outer-encoded bit
+      count, fs.FrameSpec(cfg).outer_bits).
+
+    FER <= l_steps * sum_d a_d P2(d), with a_d the exact event spectrum of
+    the framework's own puncture patterns (conv_event_spectrum).
+    """
+    import math
+
+    from liquiddsp_tpu.core.config import MOD_BPS
+
+    spectrum = conv_event_spectrum(inner_code, dmax)
+    es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)  # k = 2 samp/sym
+    bps = MOD_BPS[modulation]
+    if modulation in (0, 1):  # BPSK / QPSK: exact soft pairwise
+        ec_n0 = es_n0 / bps
+        p2 = lambda d: _qfunc(math.sqrt(2.0 * d * ec_n0))
+    elif modulation == 5:  # DQPSK: standard ~2.3 dB differential-detection
+        # penalty on the coherent-QPSK pairwise term (approximate anchor,
+        # not a proven bound — labeled theory_fer_approx in the records)
+        ec_n0 = es_n0 * 10.0 ** (-0.23) / 2.0
+        p2 = lambda d: _qfunc(math.sqrt(2.0 * d * ec_n0))
+    elif modulation in (8, 10):  # square QAM16/64: Bhattacharyya
+        p = _qam_coded_bit_error(modulation, es_n0)
+        z = math.sqrt(max(4.0 * p * (1.0 - p), 1e-300))
+        p2 = lambda d: z**d
+    else:
+        raise ValueError("conv anchor covers BPSK/QPSK/DQPSK/QAM16/QAM64")
+    s = sum(a * p2(d) for d, a in spectrum.items())
+    return min(1.0, l_steps * s)
+
+
+def _qam_coded_bit_error(modulation: int, es_n0: float) -> float:
+    """Exact average per-bit hard error probability of the square-QAM Gray
+    mapping at symbol SNR Es/N0 (averaged over the bit positions of one
+    PAM axis; both axes are symmetric)."""
+    import math
+
+    from liquiddsp_tpu.core.config import MOD_BPS
+
+    bps = MOD_BPS[modulation]
+    m_axis = 1 << (bps // 2)  # levels per axis (4 for QAM16, 8 for QAM64)
+    # unit-average-energy square QAM: axis levels +-1, +-3, ... scaled by
+    # sqrt(3 / (2 (M_axis^2 - 1)))
+    scale = math.sqrt(3.0 * es_n0 / (2.0 * (m_axis * m_axis - 1.0)))
+    nbits = bps // 2
+    # per-axis Gray bit error: standard closed form (Cho & Yoon 2002)
+    total = 0.0
+    for k in range(1, nbits + 1):
+        pk = 0.0
+        top = (1 - 2**-k) * m_axis - 1
+        for i in range(int(top) + 1):
+            w = math.floor(i * 2 ** (k - 1) / m_axis + 0.5)
+            sgn = (-1) ** w
+            c = 2 ** (k - 1) - math.floor(i * 2 ** (k - 1) / m_axis + 0.5)
+            pk += sgn * c * _qfunc((2 * i + 1) * scale * math.sqrt(2.0))
+        total += (2.0 / m_axis) * pk
+    return total / nbits
+
+
 def theory_v27_fer_ub(payload_len: int, snr_db: float) -> float:
     """Union upper bound on the soft-decision V27 frame-error rate over
     QPSK — the coded-row position anchor.
@@ -139,6 +279,45 @@ def theory_v27_fer_ub(payload_len: int, snr_db: float) -> float:
     l_info = 8 * (payload_len + 3)
     s = sum(a * _qfunc(math.sqrt(d * es_n0)) for d, a in _V27_AD.items())
     return min(1.0, l_info * s)
+
+
+def theory_golay_fer(payload_len: int, snr_db: float, modulation: int = 1) -> float:
+    """Exact block-FER of the (24,12) extended-Golay OUTER code alone
+    (inner none) over coherent BPSK/QPSK with hard decisions at the
+    decoder input: the decoder corrects every <=3-bit pattern
+    (ops/fec/block.py max_correct=3), so
+    P_blk = P(>3 errors in 24), FER = 1 - (1 - P_blk)^n_blocks."""
+    import math
+
+    from liquiddsp_tpu.core.config import MOD_BPS
+
+    es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)
+    p = _qfunc(math.sqrt(2.0 * es_n0 / MOD_BPS[modulation]))
+    n_bits = 8 * (payload_len + 3)
+    n_blocks = -(-n_bits // 12)
+    p_ok = sum(
+        math.comb(24, e) * p**e * (1 - p) ** (24 - e) for e in range(4)
+    )
+    return min(1.0, max(0.0, 1.0 - p_ok**n_blocks))
+
+
+def theory_rs255_fer(payload_len: int, snr_db: float, modulation: int = 1) -> float:
+    """Exact block-FER of the RS(255,223) OUTER code alone (inner none)
+    over coherent BPSK/QPSK: t = 16 byte-symbol corrections per block
+    (ops/fec/rs.py), byte error p_B = 1 - (1-p)^8."""
+    import math
+
+    from liquiddsp_tpu.core.config import MOD_BPS
+
+    es_n0 = 2.0 * 10.0 ** (snr_db / 10.0)
+    p = _qfunc(math.sqrt(2.0 * es_n0 / MOD_BPS[modulation]))
+    pb = 1.0 - (1.0 - p) ** 8
+    n_bytes = payload_len + 3
+    n_blocks = -(-n_bytes // 223)
+    p_ok = sum(
+        math.comb(255, e) * pb**e * (1 - pb) ** (255 - e) for e in range(17)
+    )
+    return min(1.0, max(0.0, 1.0 - p_ok**n_blocks))
 
 
 _PROGRAMS = {}
@@ -318,8 +497,17 @@ def main():
             }
             if inner == 0 and outer == 0 and mod in (0, 1, 8, 10) and impair is None:
                 rec["theory_fer"] = theory_uncoded_fer(mod, args.payload_len, snr)
-            if label == "qpsk_v27":
-                rec["theory_fer_ub"] = theory_v27_fer_ub(args.payload_len, snr)
+            if inner >= 1 and mod in (0, 1, 5, 8, 10) and impair is None:
+                # coded-row anchor: union UB on the inner soft-Viterbi FER
+                # from the framework's own exact puncture spectra; an outer
+                # code only lowers FER, so the bound stays valid (loose)
+                # for concatenated rows. DQPSK's differential penalty is an
+                # approximation, so its column is labeled _approx.
+                from liquiddsp_tpu.phy import frame_spec as _fspec
+
+                l_steps = _fspec.FrameSpec(cfg).outer_bits
+                key = "theory_fer_approx" if mod == 5 else "theory_fer_ub"
+                rec[key] = theory_conv_fer_ub(inner, mod, l_steps, snr)
             records.append(rec)
             print(
                 f"{label:16s} snr={snr:5.1f}  det={rec['det_rate']:.3f} "

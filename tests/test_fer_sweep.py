@@ -123,3 +123,54 @@ class TestTheoryAnchor:
             f"V27 conditional FER {cond_fer:.4f} at {snr} dB exceeds union "
             f"bound({snr - 1.0} dB)={bound:.5f} + slack {slack:.4f}"
         )
+
+
+class TestCodedAnchors:
+    """Coded-row theory anchors (VERDICT r4 item 9)."""
+
+    def test_unpunctured_spectrum_matches_published(self):
+        from bench.fer_sweep import _V27_AD, conv_event_spectrum
+
+        s = conv_event_spectrum(1, dmax=22)
+        for d, a in _V27_AD.items():
+            assert abs(s[d] - a) < 1e-6, (d, s.get(d), a)
+        # odd weights are absent for the (171,133) code
+        assert all(d % 2 == 0 for d in s)
+
+    def test_generic_bound_matches_v27_special_case(self):
+        from bench.fer_sweep import theory_conv_fer_ub, theory_v27_fer_ub
+
+        for snr in (1.5, 2.5, 4.0):
+            a = theory_conv_fer_ub(1, 1, 536, snr, dmax=22)
+            b = theory_v27_fer_ub(64, snr)
+            assert abs(a - b) / max(b, 1e-12) < 1e-6
+
+    def test_punctured_spectra_exist_and_weaken(self):
+        from bench.fer_sweep import conv_event_spectrum
+
+        dfree = {}
+        for ic in range(1, 7):
+            s = conv_event_spectrum(ic, dmax=12)
+            assert s, ic
+            dfree[ic] = min(s)
+        # free distance shrinks as the rate rises
+        assert dfree[1] == 10
+        assert dfree[2] < dfree[1]
+        assert dfree[6] <= dfree[2]
+
+    def test_outer_block_formulas_sane(self):
+        from bench.fer_sweep import theory_golay_fer, theory_rs255_fer
+
+        for f in (theory_golay_fer, theory_rs255_fer):
+            lo, hi = f(64, 10.0), f(64, 0.0)
+            assert 0.0 <= lo <= hi <= 1.0
+            assert hi > lo  # monotone in SNR
+
+    def test_qam_bit_error_matches_leading_term(self):
+        import math
+
+        from bench.fer_sweep import _qam_coded_bit_error, _qfunc
+
+        p = _qam_coded_bit_error(8, 10.0)
+        lead = 0.75 * _qfunc(math.sqrt(10.0 / 5.0))
+        assert abs(p - lead) / lead < 0.05
