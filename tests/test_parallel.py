@@ -94,20 +94,35 @@ class TestTimeSharding:
             assert v
             assert p_got == bytes(p_want)
 
-    def test_matches_unsharded(self, devices8):
-        """Sharded and single-device RX agree on payloads."""
+    @pytest.mark.parametrize(
+        "cfg",
+        [
+            QPSK_CFG,                      # plain coherent
+            FrameConfig(1, 1, 1, 64),      # concatenated Viterbi+Golay
+            FrameConfig(5, 0, 0, 64),      # differential DQPSK
+            FrameConfig(10, 0, 2, 64),     # dense QAM64 + RS outer
+        ],
+        ids=["qpsk", "qpsk_v27_golay", "dqpsk", "qam64_rs"],
+    )
+    def test_matches_unsharded(self, devices8, cfg):
+        """Sharded and single-device RX agree on payloads — across config
+        CLASSES (VERDICT r4 item 5: the FEC kernels, differential demod and
+        dense-QAM decode must all survive the halo path, not just QPSK)."""
+        f = framegen.frame_length(cfg)
+        t_local = max(2048, ((2 * f + 800) // 256) * 256)
         mesh = make_mesh(n_time=8, n_ch=1)
         rng = np.random.default_rng(2)
         payloads = rng.integers(0, 256, (2, 64), dtype=np.uint8)
-        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), QPSK_CFG))
-        f = frames.shape[1]
-        t = 8 * 2048
+        frames = np.asarray(framegen.framegen(jnp.asarray(payloads), cfg))
+        t = 8 * t_local
         x = np.zeros((1, t), dtype=np.complex64)
+        # one interior frame + one straddling a shard boundary
         x[0, 300 : 300 + f] = frames[0]
-        x[0, 9000 : 9000 + f] = frames[1]
-        ref = framesync_fixed(jnp.asarray(x), QPSK_CFG, max_frames=8)
+        s2 = 4 * t_local - f // 2
+        x[0, s2 : s2 + f] = frames[1]
+        ref = framesync_fixed(jnp.asarray(x), cfg, max_frames=8)
         xs = shard_stream(jnp.asarray(x), mesh)
-        res = sharded_framesync(xs, QPSK_CFG, mesh, max_frames_per_shard=4)
+        res = sharded_framesync(xs, cfg, mesh, max_frames_per_shard=4)
 
         def collect(r):
             m = np.asarray(r.mask)[0]
