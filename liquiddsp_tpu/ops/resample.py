@@ -76,22 +76,49 @@ def arbitrary(x: jax.Array, rate: float, out_len: int, num_phases: int = 32,
               ntaps: int = 33) -> jax.Array:
     """Arbitrary-ratio resample: y[i] = x(i / rate), [..., T] -> [..., out_len].
 
-    Nearest-phase polyphase interpolation (liquid resamp_crcf analog),
-    expressed as a gather of input windows + per-output-phase dot products.
+    Nearest-phase polyphase interpolation (liquid resamp_crcf analog).
+    ``rate`` is STATIC per compile, so the whole index plan (integer base,
+    phase row) is computed in numpy at trace time. Near-unity rates (ppm
+    clock offsets — BASELINE config 3's per-channel resampling) take a
+    fully static formulation: the integer sample offset d = base[i] - i is
+    piecewise-constant with at most ~|1-rate|*out_len + 1 runs, so the
+    output is a concatenation of statically-sliced segments, each a
+    ``ntaps``-term shifted-slice FMA with a constant [seg_len, ntaps] tap
+    gather baked in at trace time — no device gathers at all (the gather
+    formulation materialized a [.., out_len, ntaps] window tensor: ~16x
+    slower than the whole RX at 64x65536, measured r5). Rates far from 1
+    (many runs) keep the gather path.
     """
     cutoff = 0.5 * min(1.0, rate)
-    bank = jnp.asarray(_frac_bank(num_phases, ntaps, cutoff))
-    t_in = x.shape[-1]
-    pos = jnp.arange(out_len) / rate  # input-domain positions
-    base = jnp.floor(pos).astype(jnp.int32)
+    bank = _frac_bank(num_phases, ntaps, cutoff)  # numpy [P, ntaps]
+    pos = np.arange(out_len) / rate  # input-domain positions (static)
+    base = np.floor(pos).astype(np.int64)
     frac = pos - base
-    phase = jnp.round(frac * num_phases).astype(jnp.int32) % num_phases
-    # adjust base when frac rounds up to a full sample
-    base = base + (jnp.round(frac * num_phases) // num_phases).astype(jnp.int32)
+    phase_r = np.round(frac * num_phases).astype(np.int64)
+    base = base + phase_r // num_phases
+    phase = phase_r % num_phases
+    taps_np = bank[phase]  # [out_len, ntaps] static
     half = (ntaps - 1) // 2
-    pad = ntaps
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, pad)])
-    idx = base[:, None] + jnp.arange(ntaps)[None, :]  # [out_len, ntaps]
+    lead = [(0, 0)] * (x.ndim - 1)
+
+    d = base - np.arange(out_len)  # integer shift per output (static)
+    runs = np.nonzero(np.diff(d))[0] + 1
+    if len(runs) + 1 <= 32:
+        # static-segment fast path: per run, d is constant -> every tap v
+        # reads a STATIC slice x[a+dv : b+dv]
+        xp = jnp.pad(x, lead + [(half, ntaps + int(abs(d).max()) + 1)])
+        taps_c = jnp.asarray(taps_np)
+        bounds = [0, *runs.tolist(), out_len]
+        segs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            dv = int(d[a])
+            y = jnp.zeros(x.shape[:-1] + (b - a,), dtype=x.dtype)
+            for v in range(ntaps):
+                y = y + xp[..., a + dv + v : b + dv + v] * taps_c[a:b, v]
+            segs.append(y)
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+
+    xp = jnp.pad(x, lead + [(half, ntaps + int(abs(d).max()) + 1)])
+    idx = jnp.asarray(base[:, None] + np.arange(ntaps)[None, :])
     windows = xp[..., idx]  # [..., out_len, ntaps]
-    taps = bank[phase]  # [out_len, ntaps]
-    return jnp.sum(windows * taps, axis=-1)
+    return jnp.sum(windows * jnp.asarray(taps_np), axis=-1)

@@ -410,7 +410,12 @@ def _chol_solve_spd(M: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
-def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-3) -> jax.Array:
+def _eq_train(
+    syms: jax.Array,
+    ref: jax.Array,
+    lam_rel: float = 1e-3,
+    static_ref: np.ndarray | None = None,
+) -> jax.Array:
     """Train a symbol-spaced linear equalizer on known reference symbols.
 
     liquid's flexframesync adapts an LMS equalizer sample-by-sample through
@@ -457,23 +462,68 @@ def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-3) -> jax.Arr
     n0 = L - 1 - c
     n_ref = ref.shape[-1]
     rows = n_ref - L + 1  # targets m = n0 .. n_ref-1-c: full regressor span
-    ref_b = jnp.broadcast_to(ref, syms.shape[:-1] + (n_ref,))
-    # D[n, t] = ref[n0 + n + c - t]; y[n] = syms[n0 + n]
-    D = jnp.stack(
-        [ref_b[..., n0 + c - t : n0 + c - t + rows] for t in range(L)], axis=-1
-    )  # [..., rows, L]
     y = syms[..., n0 : n0 + rows]
-    G = jnp.einsum("...nl,...nm->...lm", jnp.conj(D), D)
-    rhs = jnp.einsum("...nl,...n->...l", jnp.conj(D), y)
-    diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
-    lam = lam_rel * jnp.maximum(jnp.mean(diag, axis=-1), 1e-12)
-    G = G + (lam[..., None, None] * jnp.eye(L, dtype=G.dtype))
-    h = _solve_hermitian(G, rhs)  # [..., L] channel estimate
+    if static_ref is not None:
+        # KNOWN-constant reference (the preamble): the design matrix, its
+        # Gram, and the regularized LS estimator are all compile-time
+        # numpy — the channel estimate is ONE [L, rows] matmul per frame
+        # instead of Gram einsums + an 8-dim solve (the EQ1 train was the
+        # single hottest RX stage on hardware after the indirect rewrite)
+        rnp = np.asarray(static_ref, dtype=np.complex64)
+        D_np = np.stack(
+            [rnp[n0 + c - t : n0 + c - t + rows] for t in range(L)], axis=-1
+        )
+        G_np = D_np.conj().T @ D_np
+        lam_np = lam_rel * max(float(np.mean(np.real(np.diag(G_np)))), 1e-12)
+        A_est = np.linalg.inv(G_np + lam_np * np.eye(L)) @ D_np.conj().T
+        h = jnp.einsum(
+            "lr,...r->...l", jnp.asarray(A_est.astype(np.complex64)), y
+        )
+        resid = y - jnp.einsum(
+            "rl,...l->...r", jnp.asarray(D_np.astype(np.complex64)), h
+        )
+        p_train = float(np.mean(np.abs(rnp) ** 2))
+    else:
+        ref_b = jnp.broadcast_to(ref, syms.shape[:-1] + (n_ref,))
+        # D[n, t] = ref[n0 + n + c - t]; y[n] = syms[n0 + n]
+        D = jnp.stack(
+            [ref_b[..., n0 + c - t : n0 + c - t + rows] for t in range(L)],
+            axis=-1,
+        )  # [..., rows, L]
+        # Gram + cross-correlation as bf16 real matmuls: these are
+        # noise-averaged statistics over ``rows`` symbols, so bf16's ~0.4%
+        # operand rounding perturbs the solved taps ~0.5% — phantom ISI at
+        # -46 dB, below the James-Stein gate's noise null at any
+        # operational SNR (same accumulate-in-f32 policy as the template
+        # correlator, docs/ARCHITECTURE.md TPU-shape rules). f32 einsums
+        # here lowered to VPU reductions (8x8 outputs are a hopeless MXU
+        # shape) and were the EQ2 hot spot: 0.58 ms/block on hardware.
+        Dr = jnp.real(D).astype(jnp.bfloat16)
+        Di = jnp.imag(D).astype(jnp.bfloat16)
+        mm = lambda a, b: jnp.einsum(
+            "...nl,...nm->...lm", a, b, preferred_element_type=jnp.float32
+        )
+        Grr = mm(Dr, Dr) + mm(Di, Di)
+        Gri = mm(Dr, Di) - mm(Di, Dr)
+        G = (Grr + 1j * Gri).astype(jnp.complex64)
+        yr = jnp.real(y).astype(jnp.bfloat16)
+        yi = jnp.imag(y).astype(jnp.bfloat16)
+        mv = lambda a, b: jnp.einsum(
+            "...nl,...n->...l", a, b, preferred_element_type=jnp.float32
+        )
+        rhs = (
+            (mv(Dr, yr) + mv(Di, yi)) + 1j * (mv(Dr, yi) - mv(Di, yr))
+        ).astype(jnp.complex64)
+        diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
+        lam = lam_rel * jnp.maximum(jnp.mean(diag, axis=-1), 1e-12)
+        G = G + (lam[..., None, None] * jnp.eye(L, dtype=G.dtype))
+        h = _solve_hermitian(G, rhs)  # [..., L] channel estimate
+        resid = y - jnp.einsum("...nl,...l->...n", D, h)
+        p_train = jnp.maximum(jnp.mean(jnp.abs(ref_b) ** 2, axis=-1), 1e-12)
 
     # noise estimate from the channel-fit residual (bias-corrected)
-    resid = y - jnp.einsum("...nl,...l->...n", D, h)
     sigma2 = jnp.mean(jnp.abs(resid) ** 2, axis=-1) * (rows / max(rows - L, 1))
-    p_train = jnp.maximum(jnp.mean(jnp.abs(ref_b) ** 2, axis=-1), 1e-12)
+    p_train = jnp.asarray(p_train, jnp.float32)  # 0-d on the static path
 
     # James-Stein gate on the ISI taps (lag-0 always kept)
     delta = jnp.zeros((L,), dtype=h.dtype).at[c].set(1.0)
@@ -530,20 +580,32 @@ def _eq_train(syms: jax.Array, ref: jax.Array, lam_rel: float = 1e-3) -> jax.Arr
 
 
 def _solve_hermitian(G: jax.Array, rhs: jax.Array) -> jax.Array:
-    """Solve the Hermitian-PSD complex system G w = rhs, batched, via the
-    real 2Lx2L embedding + unrolled Cholesky (no complex linalg on TPU)."""
+    """Solve the Hermitian-PD complex system G w = rhs, batched, by
+    conjugate gradients.
+
+    CG is exact in <= L steps for an L-dimensional PD system (L = 8
+    here), each step one small matvec + two reductions over the tap axis
+    — a short, wide op chain XLA fuses well. The previous unrolled 16x16
+    real-embedded Cholesky was a ~700-op sequential dependency chain the
+    hardware profile showed latency-bound (eq_train(preamble) alone cost
+    2.2 ms/block). Degenerate all-zero slots (masked detections) keep
+    x = 0 via the guarded denominators."""
     L = G.shape[-1]
-    Gr, Gi = jnp.real(G), jnp.imag(G)
-    M = jnp.concatenate(
-        [
-            jnp.concatenate([Gr, -Gi], axis=-1),
-            jnp.concatenate([Gi, Gr], axis=-1),
-        ],
-        axis=-2,
-    )
-    b = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)], axis=-1)
-    w = _chol_solve_spd(M, b)
-    return (w[..., :L] + 1j * w[..., L:]).astype(jnp.complex64)
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    p = r
+    rs = jnp.sum(jnp.abs(r) ** 2, axis=-1)
+    for _ in range(L):
+        gp = jnp.einsum("...ij,...j->...i", G, p)
+        denom = jnp.maximum(jnp.real(jnp.sum(jnp.conj(p) * gp, axis=-1)), 1e-30)
+        alpha = (rs / denom).astype(G.dtype)
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * gp
+        rs_new = jnp.sum(jnp.abs(r) ** 2, axis=-1)
+        beta = (rs_new / jnp.maximum(rs, 1e-30)).astype(G.dtype)
+        p = r + beta[..., None] * p
+        rs = rs_new
+    return x.astype(jnp.complex64)
 
 
 def _eq_apply(w: jax.Array, syms: jax.Array, n_out: int | None = None) -> jax.Array:
@@ -671,6 +733,8 @@ def sync_common(
     track_sfo: bool | str = "auto",
     det_override: Detections | None = None,
     fine: bool = True,
+    return_peak_count: bool = False,
+    return_hdr_ref: bool = False,
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields, header EVM). ``n_syms`` is the static
@@ -695,9 +759,17 @@ def sync_common(
     from liquiddsp_tpu.kernels.extract import extract_windows
     from liquiddsp_tpu.phy.detector import TEMPLATE_LEN, fine_cfo
 
-    det = det_override if det_override is not None else detect(
-        x, max_frames, threshold, fine=False
-    )
+    peak_count = None
+    if det_override is not None:
+        det = det_override
+        if return_peak_count:
+            peak_count = jnp.sum(det.mask.astype(jnp.int32), axis=-1)
+    elif return_peak_count:
+        det, peak_count = detect(
+            x, max_frames, threshold, fine=False, return_count=True
+        )
+    else:
+        det = detect(x, max_frames, threshold, fine=False)
     n_samples = fs.K_SAMP * n_syms + fs.PULSE_TAIL
     if track_sfo == "auto":
         # sample-clock drift only walks off the symbol grid on long frames:
@@ -746,7 +818,7 @@ def sync_common(
         from liquiddsp_tpu.ops import msequence
 
         pre_ref = jnp.asarray(msequence.preamble_symbols())
-        w1 = _eq_train(syms, pre_ref)
+        w1 = _eq_train(syms, pre_ref, static_ref=msequence.preamble_symbols())
         c = EQ_TAPS // 2
         hdr_region = _eq_apply(w1, syms[..., : h1 + c], n_out=h1)
         raw_region = syms[..., :h1]
@@ -778,12 +850,6 @@ def sync_common(
         # equations) costs ~0.5 dB on a clean channel, which must never
         # lose a header the unequalized path would have decoded. Prefer
         # the equalized decode when both pass (ISI channels).
-        (v_eq, u_eq, pl_eq, m_eq, i_eq, o_eq), hb_eq = decode_header_full(
-            hdr_region[..., h0:h1]
-        )
-        (v_raw, u_raw, pl_raw, m_raw, i_raw, o_raw), hb_raw = decode_header_full(
-            raw_region[..., h0:h1]
-        )
         # third branch: per-segment tracked header (the linear carrier
         # model breaks when gain/phase wander WITHIN the header — the
         # sub-frame-coherence fading regime; measured r4 as a ~40% header
@@ -796,9 +862,20 @@ def sync_common(
             hdr_pre_fit[..., h0:h1], fs.HEADER_MOD, seg=18,
             anchor=anchor_pre, anchor_slope=slope_pre,
         )
-        (v_trk, u_trk, pl_trk, m_trk, i_trk, o_trk), hb_trk = decode_header_full(
-            hdr_trk
-        )
+        # ONE stacked Golay decode for all three branches: the decode cost
+        # at these shapes is launch/latency-bound, so three separate calls
+        # cost ~3x one (measured ~1.15 ms each on hardware)
+        regions = jnp.stack(
+            [hdr_region[..., h0:h1], raw_region[..., h0:h1], hdr_trk], axis=-2
+        )  # [B, K, 3, 180]
+        (v3, u3, pl3, m3, i3, o3), hb3 = decode_header_full(regions)
+        v_eq, v_raw, v_trk = v3[..., 0], v3[..., 1], v3[..., 2]
+        u_eq, u_raw, u_trk = u3[..., 0, :], u3[..., 1, :], u3[..., 2, :]
+        pl_eq, pl_raw, pl_trk = pl3[..., 0], pl3[..., 1], pl3[..., 2]
+        m_eq, m_raw, m_trk = m3[..., 0], m3[..., 1], m3[..., 2]
+        i_eq, i_raw, i_trk = i3[..., 0], i3[..., 1], i3[..., 2]
+        o_eq, o_raw, o_trk = o3[..., 0], o3[..., 1], o3[..., 2]
+        hb_eq, hb_raw, hb_trk = hb3[..., 0, :], hb3[..., 1, :], hb3[..., 2, :]
         hdr_valid = v_eq | v_raw | v_trk
         pick = v_eq  # prefer the equalized decode, then raw, then tracked
         p_raw = (~v_eq) & v_raw
@@ -819,9 +896,10 @@ def sync_common(
             phi_b = jnp.where(use_eq_fit, fit_eq[0], fit_raw[0])
             dphi = jnp.where(use_eq_fit, fit_eq[1], fit_raw[1])
             syms = _apply_carrier(syms, phi_b, dphi)
-        hdr_ref = _header_reference_symbols(hdr_bytes)  # [B, K, 180]
+        hdr_tx_ref = _header_reference_symbols(hdr_bytes)  # [B, K, 180]
         refs = jnp.concatenate(
-            [jnp.broadcast_to(pre_ref, hdr_ref.shape[:-1] + (h0,)), hdr_ref], axis=-1
+            [jnp.broadcast_to(pre_ref, hdr_tx_ref.shape[:-1] + (h0,)), hdr_tx_ref],
+            axis=-1,
         )
         w2 = _eq_train(syms, refs)
         w = jnp.where(hdr_valid[..., None], w2, w1)
@@ -830,13 +908,19 @@ def sync_common(
         if refine:
             syms = _refine_carrier(syms)
         hdr_valid, user, plen, mod, inner, outer = decode_header(syms[..., h0:h1])
+        hdr_tx_ref = None
 
     # header EVM from the refined symbols' own hard decisions
     hdr_idx = modem.demod_hard(syms[..., h0:h1], fs.HEADER_MOD)
-    hdr_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
-    evm_lin = jnp.mean(jnp.abs(syms[..., h0:h1] - hdr_ref) ** 2, axis=-1)
+    hdr_dec_ref = modem.modulate(hdr_idx, fs.HEADER_MOD)
+    evm_lin = jnp.mean(jnp.abs(syms[..., h0:h1] - hdr_dec_ref) ** 2, axis=-1)
 
-    return det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin
+    out = (det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin)
+    if return_peak_count:
+        out = out + (peak_count,)
+    if return_hdr_ref:
+        out = out + (hdr_tx_ref,)
+    return out
 
 
 def _dd_phase_track(
@@ -1158,7 +1242,8 @@ def framesync_fixed(
     fine: bool = True,
     track: bool = True,
     noise_var_override: jax.Array | float | None = None,
-) -> FrameResults:
+    return_peak_count: bool = False,
+):
     """Full RX for blocks known to carry frames of one static config.
 
     [B, T] samples -> FrameResults with [B, K] slots. Frames straddling the
@@ -1170,10 +1255,14 @@ def framesync_fixed(
     (bench/fer_ladder.py) — production callers leave them at defaults.
     """
     spec = fs.FrameSpec(cfg)
-    det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sync_common(
+    sc = sync_common(
         x, spec.frame_syms, max_frames, threshold, refine, timing_bank,
         equalize, track_sfo, det_override=det_override, fine=fine,
+        return_peak_count=return_peak_count, return_hdr_ref=True,
     )
+    det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sc[:4]
+    peak_count = sc[4] if return_peak_count else None
+    hdr_ref_sc = sc[-1]
 
     # payload: static config path, LLRs scaled by the per-frame EVM-derived
     # noise variance (framesyncstats analog; lib/flex_rx_impl.cc:198)
@@ -1187,11 +1276,16 @@ def framesync_fixed(
     # the whole payload trajectory. Garbage when the header failed, where
     # the payload is moot anyway.
     h1 = fs.PREAMBLE_SYMS + fs.HEADER_SYMS
-    proto = jnp.stack(
-        [(plen >> 8) & 0xFF, plen & 0xFF, mod, inner, outer], axis=-1
-    ).astype(jnp.uint8)
-    hdr22 = crc.crc24_append(jnp.concatenate([user, proto], axis=-1))
-    hdr_ref = _header_reference_symbols(hdr22)
+    if hdr_ref_sc is not None:
+        # the equalize path already re-encoded the decoded header for EQ2
+        # retraining — reuse it (one fewer Golay encode per block)
+        hdr_ref = hdr_ref_sc
+    else:
+        proto = jnp.stack(
+            [(plen >> 8) & 0xFF, plen & 0xFF, mod, inner, outer], axis=-1
+        ).astype(jnp.uint8)
+        hdr22 = crc.crc24_append(jnp.concatenate([user, proto], axis=-1))
+        hdr_ref = _header_reference_symbols(hdr22)
     # slope from the two 90-symbol header halves (long baseline: a 20-sym
     # baseline's slope noise at 2.5 dB is ~0.19 rad/segment and the
     # tracker chain trusting it SLIPPED frames that were fine pre-track);
@@ -1223,7 +1317,7 @@ def framesync_fixed(
         & (plen == cfg.payload_len)
     )
     hdr_ok = hdr_valid & det.mask
-    return FrameResults(
+    res = FrameResults(
         mask=det.mask,
         header_valid=hdr_ok,
         payload_valid=pay_valid & cfg_match & det.mask,
@@ -1239,3 +1333,6 @@ def framesync_fixed(
         cfo=det.dphi,
         start=det.start,
     )
+    if return_peak_count:
+        return res, peak_count
+    return res
