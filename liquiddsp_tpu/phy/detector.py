@@ -185,7 +185,8 @@ def detect(
     min_spacing: int = TEMPLATE_LEN,
     backend: str = "auto",
     fine: bool = True,
-) -> Detections:
+    return_count: bool = False,
+):
     """Find up to ``max_frames`` preamble hits in [B, T] samples.
 
     Static output shapes; invalid slots are masked. ``min_spacing`` sets the
@@ -200,6 +201,11 @@ def detect(
     (kernels/correlator.py). ``fine=False`` skips the fine CFO refinement
     (dphi is then the coarse bin center) — used by the framesync, which
     refines from its own frame windows instead of re-extracting preambles.
+    ``return_count=True`` additionally returns the TOTAL threshold-passing
+    peak count per row [B] int32 (BEFORE the top-K cut) — the demand
+    signal the occupancy-adaptive streaming decode sizes its slot count
+    from (runtime/stream.py run_adaptive): count > K means top-K dropped
+    real candidates.
     """
     from liquiddsp_tpu.kernels.correlator import correlate_reduced
 
@@ -263,7 +269,7 @@ def detect(
     else:
         dphi = coarse
 
-    return Detections(
+    det = Detections(
         mask=mask,
         start=start.astype(jnp.int32),
         rho=jnp.sqrt(jnp.maximum(top_rho2, 0.0)),
@@ -272,6 +278,9 @@ def detect(
         phi=phi.astype(jnp.float32),
         tau=tau.astype(jnp.float32),
     )
+    if return_count:
+        return det, jnp.sum(is_peak.astype(jnp.int32), axis=-1)
+    return det
 
 
 def frame_detector_cc(x: jax.Array, max_frames: int = 16, threshold: float = DEFAULT_THRESHOLD):

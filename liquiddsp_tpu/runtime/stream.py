@@ -43,6 +43,11 @@ def _stack_chunks(group):
     return jnp.stack(group, axis=1)
 
 
+# slot-count buckets for the occupancy-adaptive decode: geometric-ish so
+# the compile count stays small while overshoot stays ~<=25%
+K_BUCKETS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 40, 48, 64)
+
+
 class StreamingRx:
     """Stateful streaming wrapper around the block framesync.
 
@@ -234,6 +239,160 @@ class StreamingRx:
         self._samples_consumed += n * self.chunk_len
         return dataclasses.replace(res, epoch=self.start_epoch)
 
+    def _adaptive_prog(self, k: int):
+        """Cached jitted counted-superstep at slot count ``k`` (compiled
+        lazily — a steady stream only ever compiles its own bucket)."""
+        progs = getattr(self, "_adaptive_progs", None)
+        if progs is None:
+            progs = self._adaptive_progs = {}
+        if k not in progs:
+            step = functools.partial(
+                _stream_superstep,
+                cfg=self.cfg,
+                max_frames=k,
+                threshold=self.threshold,
+                frame_samples=self.frame_samples,
+                chunk_len=self.chunk_len,
+                with_count=True,
+            )
+
+            # the group's demand reduces to ONE device scalar inside the
+            # program — the host fetch then awaits a ready buffer instead
+            # of dispatching a fresh reduction at resolve time
+            def prog(carry, chunks, base, _step=step):
+                (res, counts), new_carry = _step(carry, chunks, base)
+                return (res, jnp.max(counts)), new_carry
+
+            progs[k] = jax.jit(prog)
+        return progs[k]
+
+    def _run_group(self, stacked: jax.Array, k: int):
+        """One adaptive launch group: N chunks, slot count k. Returns
+        (stacked FrameResults [N, B, k, ...], demand counts [N, B])."""
+        n = stacked.shape[1]
+        assert n * self.chunk_len + self.frame_samples < (1 << 30)
+        (res, demand), self._carry = self._adaptive_prog(k)(
+            self._carry, stacked, self._base()
+        )
+        self._samples_consumed += n * self.chunk_len
+        return dataclasses.replace(res, epoch=self.start_epoch), demand
+
+    def run_adaptive(
+        self,
+        stream: np.ndarray | jax.Array,
+        chunks_per_launch: int = 5,
+        k_buckets: tuple[int, ...] = K_BUCKETS,
+        headroom: int = 2,
+        split: bool = True,
+    ) -> list[FrameResults]:
+        """Occupancy-adaptive :meth:`run`: the decode slot count K follows
+        the MEASURED detector demand instead of worst-case provisioning.
+
+        Every per-candidate RX stage scales with K, and the default
+        worst-case K (back-to-back frames) costs ~2x throughput on
+        realistic frame densities (CLAUDE.md perf notes) — but a manual
+        ``max_frames_per_chunk`` is a footgun (a burst above it silently
+        drops frames). Here each launch group (``chunks_per_launch``
+        chunks, one dispatch) also returns the per-window threshold-peak
+        COUNTS (phy/detector.py return_count — the demand before the
+        top-K cut), reduced to one device scalar per group. ALL groups of
+        a call dispatch back-to-back at the current bucket; their demand
+        scalars are then stacked and fetched in ONE transfer (a per-group
+        blocking fetch cost a full ~25 ms tunnel RPC each — more than a
+        group's compute — measured r5), any group whose demand exceeded
+        its K is re-decoded at a covering bucket, and the settled bucket
+        persists on the instance for the next call. Exactly-once is
+        unaffected: the overlap carry is raw data, independent of K, so a
+        redo reproduces the same carry chain.
+
+        Worst case (burst in every group) this degenerates to ~2x work of
+        :meth:`run` at the right K; steady state it does strictly less
+        work than worst-case provisioning, with K covering demand plus
+        ``headroom`` extra frames so small fluctuations do not trigger
+        redos. Adaptation latency is one call — size the stream argument
+        to the cadence at which occupancy realistically drifts.
+        """
+        b, t = stream.shape
+        on_device = isinstance(stream, jax.Array)
+        buckets = sorted({k for k in k_buckets if k < self.max_frames})
+        buckets.append(self.max_frames)  # demand can never exceed this...
+        # ...well, it can (pathological threshold chatter), but max_frames
+        # IS the provisioning run() would have used — never decode worse.
+
+        def pick(demand: int) -> int:
+            want = demand + headroom
+            idx = 0
+            while idx < len(buckets) - 1 and buckets[idx] < want:
+                idx += 1
+            return buckets[idx]
+
+        chunks = []
+        for pos in range(0, t, self.chunk_len):
+            chunk = stream[:, pos : pos + self.chunk_len]
+            if chunk.shape[1] < self.chunk_len:
+                w = self.chunk_len - chunk.shape[1]
+                if on_device:
+                    chunk = jax.jit(
+                        lambda a, w=w: jnp.pad(a, ((0, 0), (0, w)))
+                    )(chunk)
+                else:
+                    chunk = np.pad(chunk, ((0, 0), (0, w)))
+            chunks.append(chunk if on_device else put_c64(chunk))
+        n_full = (len(chunks) // chunks_per_launch) * chunks_per_launch
+
+        # the settled bucket persists across calls (and reset()): a steady
+        # stream pays the climb from the smallest bucket exactly once
+        k = getattr(self, "_adaptive_k", None) or buckets[0]
+        if k not in buckets:
+            k = buckets[0]
+
+        # phase 1: dispatch every group at the current bucket, keeping the
+        # per-group demand scalars ON DEVICE
+        groups = []  # [stacked, state_before, res, demand_dev]
+        for g in range(0, n_full, chunks_per_launch):
+            group = chunks[g : g + chunks_per_launch]
+            stacked = _stack_chunks(group)
+            state_before = (self._carry, self._samples_consumed)
+            res, demand_dev = self._run_group(stacked, k)
+            groups.append([stacked, state_before, res, demand_dev])
+
+        if groups:
+            # phase 2: ONE stacked fetch for every group's demand
+            demands = np.asarray(
+                jax.jit(jnp.stack)([g[3] for g in groups])
+            ).astype(np.int64)
+            # phase 3: re-decode any overflowed group at a covering bucket
+            # (rare; carry chain is K-independent, see docstring)
+            for gi, entry in enumerate(groups):
+                if demands[gi] > k:
+                    k_fix = pick(int(demands[gi]))
+                    live = (
+                        self._carry, self._samples_consumed, self.start_epoch,
+                    )
+                    self._carry, self._samples_consumed = entry[1]
+                    entry[2], _ = self._run_group(entry[0], k_fix)
+                    (
+                        self._carry, self._samples_consumed, self.start_epoch,
+                    ) = live
+            self._adaptive_k = pick(int(demands.max()))
+
+        # ``split=False`` returns one stacked FrameResults ([N, B, K, ...])
+        # per launch group: splitting into per-chunk results issues an
+        # EAGER device slice per field per chunk — hundreds of ~1.4 ms
+        # tunnel dispatches on long streams (measured r5: the split, not
+        # the decode, dominated the adaptive bench). Device-side consumers
+        # should reduce over the stacked results directly.
+        out: list[FrameResults] = []
+        for stacked, _, res, _ in groups:
+            if split:
+                out.extend(split_results(res, stacked.shape[1]))
+            else:
+                out.append(res)
+        # short tail rides the already-compiled worst-case per-chunk step
+        for c in chunks[n_full:]:
+            out.append(self.step(c))
+        return out
+
     def run(
         self, stream: np.ndarray | jax.Array, chunks_per_launch: int = 1
     ) -> list[FrameResults]:
@@ -277,9 +436,16 @@ class StreamingRx:
         return out
 
 
-def _stream_step(carry, chunk, base, *, cfg, max_frames, threshold, frame_samples):
+def _stream_step(
+    carry, chunk, base, *, cfg, max_frames, threshold, frame_samples,
+    with_count: bool = False,
+):
     window = jnp.concatenate([carry, chunk], axis=-1)
-    res = framesync_fixed(window, cfg, max_frames=max_frames, threshold=threshold)
+    out = framesync_fixed(
+        window, cfg, max_frames=max_frames, threshold=threshold,
+        return_peak_count=with_count,
+    )
+    res, count = out if with_count else (out, None)
     w = window.shape[-1]
     contained = res.start <= w - frame_samples
     mask = res.mask & contained
@@ -292,24 +458,30 @@ def _stream_step(carry, chunk, base, *, cfg, max_frames, threshold, frame_sample
         start=res.start + base,
     )
     new_carry = window[:, -(frame_samples - 1):]
+    if with_count:
+        return (res, count), new_carry
     return res, new_carry
 
 
 def _stream_superstep(
-    carry, chunks, base0, *, cfg, max_frames, threshold, frame_samples, chunk_len
+    carry, chunks, base0, *, cfg, max_frames, threshold, frame_samples,
+    chunk_len, with_count: bool = False,
 ):
     """N chunks per launch: the overlap buffer rides as the scan carry.
 
     ``chunks`` is [B, N, L]; the scan body is exactly ``_stream_step`` so the
     scanned path and the per-chunk path are the same program by construction
     (tests/test_runtime.py pins equality). XLA compiles the body once and
-    loops on-device — one dispatch for the whole group."""
+    loops on-device — one dispatch for the whole group. ``with_count``
+    additionally stacks the per-chunk detector demand [N, B] (the
+    occupancy-adaptive decode's slot-sizing signal)."""
 
     def body(c, chunk):
         buf, base = c
         res, new_buf = _stream_step(
             buf, chunk, base, cfg=cfg, max_frames=max_frames,
             threshold=threshold, frame_samples=frame_samples,
+            with_count=with_count,
         )
         return (new_buf, base + chunk_len), res
 
