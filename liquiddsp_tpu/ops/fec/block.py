@@ -22,6 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _hamming_parity_matrix(k: int, r: int) -> np.ndarray:
@@ -51,6 +52,50 @@ def _golay_b_matrix() -> np.ndarray:
     return b
 
 
+def _decode_golay_packed(s: jax.Array) -> jax.Array:
+    """Arithmetic extended-Golay decoder: packed 12-bit syndrome [...] ->
+    packed 12-bit DATA error pattern e_u (parity errors never touch data).
+
+    The standard table-free decoder, valid because G = [I | B] is self-dual
+    (B B^T = I mod 2): with e = [e_u | e_v] and s = e_u B xor e_v, exactly
+    one of 26 candidates covers every coset of weight <= 3 —
+      wt(s) <= 3                 -> e_u = 0
+      wt(s ^ B_i) <= 2           -> e_u = delta_i          (B_i = row i of B)
+      t = s B^T: wt(t) <= 3      -> e_u = t
+      wt(t ^ Bcol_i) <= 2        -> e_u = t ^ Bcol_i       (e_v = delta_i)
+    Distinct weight-<=3 patterns have distinct syndromes (d_min = 8), so the
+    branch that fires is unique and equals the syndrome table's entry;
+    weight-4 cosets fire no branch and return 0, also matching the table.
+    All ops are popcounts/XORs on packed int32 lanes — no gather, fully
+    XLA-fusable (the table gather this replaces was the header-decode hot
+    spot, bench/EQ_ABLATION.json).
+    """
+    b = _golay_b_matrix().astype(np.int64)
+    row_pk = [int(v) for v in b @ (1 << np.arange(12))]  # rows of B, packed
+    col_pk = [int(v) for v in b.T @ (1 << np.arange(12))]  # cols of B, packed
+    pc = lambda v: lax.population_count(v.astype(jnp.uint32)).astype(jnp.int32)
+
+    done = pc(s) <= 3
+    e_u = jnp.zeros_like(s)
+    for i in range(12):
+        hit = (~done) & (pc(s ^ row_pk[i]) <= 2)
+        e_u = jnp.where(hit, 1 << i, e_u)
+        done = done | hit
+    # t = s B^T, bit j = parity of s & (row j of B)
+    t = jnp.zeros_like(s)
+    for j in range(12):
+        t = t | ((pc(s & row_pk[j]) & 1) << j)
+    hit = (~done) & (pc(t) <= 3)
+    e_u = jnp.where(hit, t, e_u)
+    done = done | hit
+    for i in range(12):
+        cand = t ^ col_pk[i]
+        hit = (~done) & (pc(cand) <= 2)
+        e_u = jnp.where(hit, cand, e_u)
+        done = done | hit
+    return e_u
+
+
 class LinearBlockCode:
     """Systematic (n, k) binary code with G = [I_k | P], H = [P^T | I_{n-k}].
 
@@ -65,17 +110,7 @@ class LinearBlockCode:
         self.n = self.k + r
         self.r = r
         self.max_correct = max_correct
-        self._syndrome_table = self._build_syndrome_table()
-        # bit-packed table [2^r, ceil(n/32)] uint32 — the decode gather then
-        # moves 1-3 words per block instead of n bytes (TPU gathers are
-        # bandwidth-poor; 24x less gathered data for Golay)
-        words = -(-self.n // 32)
-        packed = np.zeros((1 << self.r, words), dtype=np.uint32)
-        for j in range(self.n):
-            packed[:, j // 32] |= self._syndrome_table[:, j].astype(np.uint32) << (
-                j % 32
-            )
-        self._syndrome_table_packed = packed
+        self._syndrome_table = self._build_syndrome_table()  # host oracle only
 
     def _syndrome_of(self, err: np.ndarray) -> int:
         # H = [P^T | I_r]; syndrome = err @ H^T
@@ -133,22 +168,36 @@ class LinearBlockCode:
         return out.reshape(bits.shape[:-1] + (shape[-2] * self.n,))
 
     def decode(self, bits: jax.Array) -> jax.Array:
-        """bits [..., nblocks*n] int8 -> corrected data [..., nblocks*k] int8."""
+        """bits [..., nblocks*n] int8 -> corrected data [..., nblocks*k] int8.
+
+        Gather-free: a syndrome-table gather (r4 design) cost ~0.3 ms/block
+        on hardware at the header's stacked [B, K, 3, 15] shape (TPU gathers
+        are scalar-bandwidth-bound; bench/EQ_ABLATION.json). Single-error
+        codes instead compare the packed syndrome against the k data-column
+        syndromes (one broadcast equality, VPU-fusable); Golay takes the
+        arithmetic decoder below. Both are bit-identical to the table
+        (single-error syndromes are distinct columns of H; see
+        _decode_golay_packed for the Golay argument)."""
         p = jnp.asarray(self.p, dtype=jnp.float32)
-        table = jnp.asarray(self._syndrome_table_packed)  # [2^r, words] u32
         weights = jnp.asarray(1 << np.arange(self.r), dtype=jnp.int32)
         shape = bits.shape[:-1] + (bits.shape[-1] // self.n, self.n)
         c = bits.reshape(shape).astype(jnp.int32)
         data, par = c[..., : self.k], c[..., self.k :]
         syn = jnp.mod(data.astype(jnp.float32) @ p, 2.0).astype(jnp.int32) ^ par
-        sidx = jnp.sum(syn * weights, axis=-1)
-        packed = table[sidx]  # [..., words]
-        word_of = np.arange(self.k) // 32  # data bits only — parity dropped
-        bit_of = np.arange(self.k) % 32
-        err = (
-            packed[..., word_of] >> jnp.asarray(bit_of, dtype=jnp.uint32)
-        ).astype(jnp.int32) & 1
-        corrected = (c[..., : self.k] ^ err).astype(jnp.int8)
+        sidx = jnp.sum(syn * weights, axis=-1)  # [..., nb] packed syndrome
+        if self.name == "golay2412":
+            e_u = _decode_golay_packed(sidx)
+            err = (e_u[..., None] >> jnp.arange(self.k, dtype=jnp.int32)) & 1
+        else:
+            # syndrome of a single error in data bit j is row j of P; a
+            # weight-1 table correction fires iff sidx matches one of them.
+            # Parity-bit errors (sidx = 1<<j) match no data row -> data
+            # unchanged, same as the table. max_correct == 1 for this family.
+            rows = np.asarray(self.p, np.int64) @ (1 << np.arange(self.r))
+            err = (sidx[..., None] == jnp.asarray(rows, jnp.int32)).astype(
+                jnp.int32
+            )
+        corrected = (data ^ err).astype(jnp.int8)
         return corrected.reshape(bits.shape[:-1] + (shape[-2] * self.k,))
 
 

@@ -361,6 +361,40 @@ def decode_header(hdr_syms: jax.Array):
     return decode_header_full(hdr_syms)[0]
 
 
+def decode_header_multi(regions: list[jax.Array]):
+    """Decode W candidate header streams ([..., 180] each) in one pass:
+    returns the decode_header_full tuple with a [..., W] branch axis
+    (bytes: [..., W, 22]).
+
+    The branches are CONCATENATED on the symbol axis ([..., W*180]) rather
+    than stacked on a new one: a [..., W, 180] layout puts W on the
+    sublane axis where it pads to 8 (2.7x wasted VPU work for W=3 — the
+    residual width-3 header cost in bench/EQ_ABLATION.json); the
+    symbol-domain ops (demod, bit unpack, syndrome matmul) instead see one
+    long lane axis. 180 symbols = 15 Golay blocks exactly, so block
+    boundaries never straddle a branch seam."""
+    w = len(regions)
+    cat = jnp.concatenate(regions, axis=-1)  # [..., W*180]
+    idx = modem.demod_hard(cat, fs.HEADER_MOD)
+    coded = modem.indices_to_bits(idx, 2)  # [..., W*360]
+    bits = golay2412().decode(coded)  # [..., W*180] data bits
+    per = fs.HEADER_SYMS  # 180 data bits per branch (15 blocks x 12)
+    hdr = jnp.stack(
+        [
+            bitops.bits_to_bytes(bits[..., b * per : b * per + fs.HEADER_BITS])
+            for b in range(w)
+        ],
+        axis=-2,
+    )  # [..., W, 22]
+    valid = crc.crc24_check(hdr)
+    user = hdr[..., : fs.HEADER_USER_BYTES]
+    plen = (hdr[..., 14].astype(jnp.int32) << 8) | hdr[..., 15].astype(jnp.int32)
+    mod = hdr[..., 16].astype(jnp.int32)
+    inner = hdr[..., 17].astype(jnp.int32)
+    outer = hdr[..., 18].astype(jnp.int32)
+    return (valid, user, plen, mod, inner, outer), hdr
+
+
 # ---------------------------------------------------------------------------
 # linear equalizer (flexframesync's EQ stage; SURVEY.md section 2.2)
 # ---------------------------------------------------------------------------
@@ -498,6 +532,9 @@ def _eq_train(
         # correlator, docs/ARCHITECTURE.md TPU-shape rules). f32 einsums
         # here lowered to VPU reductions (8x8 outputs are a hopeless MXU
         # shape) and were the EQ2 hot spot: 0.58 ms/block on hardware.
+        # (An "augmented" single matmul with y as a 9th column measured
+        # SLOWER fused — +0.3 ms eq2 term — than the separate Gram/rhs
+        # einsums below; keep the split form.)
         Dr = jnp.real(D).astype(jnp.bfloat16)
         Di = jnp.imag(D).astype(jnp.bfloat16)
         mm = lambda a, b: jnp.einsum(
@@ -735,6 +772,7 @@ def sync_common(
     fine: bool = True,
     return_peak_count: bool = False,
     return_hdr_ref: bool = False,
+    ablate: tuple = (),
 ):
     """Config-independent RX front-end: [B, T] -> (det, refined symbols
     [B, K, n_syms], header fields, header EVM). ``n_syms`` is the static
@@ -841,8 +879,11 @@ def sync_common(
             # Fit the carrier model per branch: the raw branch's fit (and
             # thus its header decode) is bit-identical to the equalize=False
             # path; the EQ branch fits on ISI-corrected symbols.
+            # (``ablate`` tokens are measurement-only hooks for
+            # tools/profile_rx.py fused-diff timings — never set in
+            # production; each drops exactly one sub-stage.)
             fit_eq = _carrier_fit(hdr_region)
-            fit_raw = _carrier_fit(syms)
+            fit_raw = fit_eq if "fit2" in ablate else _carrier_fit(syms)
             hdr_region = _apply_carrier(hdr_region, *fit_eq)
             raw_region = _apply_carrier(raw_region, *fit_raw)
         # Decode the header from BOTH the equalized and the raw (refined)
@@ -858,24 +899,31 @@ def sync_common(
         # the pre-fit EQ1 stream with the absolute preamble anchor (so a
         # fading-corrupted global fit cannot slip the whole branch); CRC24
         # arbitrates, so a static channel can only gain (accept any pass).
-        hdr_trk = _dd_phase_track(
-            hdr_pre_fit[..., h0:h1], fs.HEADER_MOD, seg=18,
-            anchor=anchor_pre, anchor_slope=slope_pre,
+        hdr_trk = (
+            hdr_pre_fit[..., h0:h1]
+            if "trk" in ablate
+            else _dd_phase_track(
+                hdr_pre_fit[..., h0:h1], fs.HEADER_MOD, seg=18,
+                anchor=anchor_pre, anchor_slope=slope_pre,
+            )
         )
-        # ONE stacked Golay decode for all three branches: the decode cost
-        # at these shapes is launch/latency-bound, so three separate calls
-        # cost ~3x one (measured ~1.15 ms each on hardware)
-        regions = jnp.stack(
-            [hdr_region[..., h0:h1], raw_region[..., h0:h1], hdr_trk], axis=-2
-        )  # [B, K, 3, 180]
-        (v3, u3, pl3, m3, i3, o3), hb3 = decode_header_full(regions)
-        v_eq, v_raw, v_trk = v3[..., 0], v3[..., 1], v3[..., 2]
-        u_eq, u_raw, u_trk = u3[..., 0, :], u3[..., 1, :], u3[..., 2, :]
-        pl_eq, pl_raw, pl_trk = pl3[..., 0], pl3[..., 1], pl3[..., 2]
-        m_eq, m_raw, m_trk = m3[..., 0], m3[..., 1], m3[..., 2]
-        i_eq, i_raw, i_trk = i3[..., 0], i3[..., 1], i3[..., 2]
-        o_eq, o_raw, o_trk = o3[..., 0], o3[..., 1], o3[..., 2]
-        hb_eq, hb_raw, hb_trk = hb3[..., 0, :], hb3[..., 1, :], hb3[..., 2, :]
+        # ONE decode for all three branches (decode_header_multi): three
+        # separate calls cost ~3x one (measured ~1.15 ms each on hardware),
+        # and a stacked [..., 3, 180] layout pays 8/3 sublane padding
+        if "hdr1" in ablate:
+            rlist = [hdr_region[..., h0:h1]]
+            je, jr, jt = 0, 0, 0
+        else:
+            rlist = [hdr_region[..., h0:h1], raw_region[..., h0:h1], hdr_trk]
+            je, jr, jt = 0, 1, 2
+        (v3, u3, pl3, m3, i3, o3), hb3 = decode_header_multi(rlist)
+        v_eq, v_raw, v_trk = v3[..., je], v3[..., jr], v3[..., jt]
+        u_eq, u_raw, u_trk = u3[..., je, :], u3[..., jr, :], u3[..., jt, :]
+        pl_eq, pl_raw, pl_trk = pl3[..., je], pl3[..., jr], pl3[..., jt]
+        m_eq, m_raw, m_trk = m3[..., je], m3[..., jr], m3[..., jt]
+        i_eq, i_raw, i_trk = i3[..., je], i3[..., jr], i3[..., jt]
+        o_eq, o_raw, o_trk = o3[..., je], o3[..., jr], o3[..., jt]
+        hb_eq, hb_raw, hb_trk = hb3[..., je, :], hb3[..., jr, :], hb3[..., jt, :]
         hdr_valid = v_eq | v_raw | v_trk
         pick = v_eq  # prefer the equalized decode, then raw, then tracked
         p_raw = (~v_eq) & v_raw
@@ -901,9 +949,13 @@ def sync_common(
             [jnp.broadcast_to(pre_ref, hdr_tx_ref.shape[:-1] + (h0,)), hdr_tx_ref],
             axis=-1,
         )
-        w2 = _eq_train(syms, refs)
-        w = jnp.where(hdr_valid[..., None], w2, w1)
-        syms = _eq_apply(w, syms)
+        if "eq2" in ablate:
+            w = w1
+        else:
+            w2 = _eq_train(syms, refs)
+            w = jnp.where(hdr_valid[..., None], w2, w1)
+        if "apply" not in ablate:
+            syms = _eq_apply(w, syms)
     else:
         if refine:
             syms = _refine_carrier(syms)
@@ -1243,6 +1295,7 @@ def framesync_fixed(
     track: bool = True,
     noise_var_override: jax.Array | float | None = None,
     return_peak_count: bool = False,
+    ablate: tuple = (),
 ):
     """Full RX for blocks known to carry frames of one static config.
 
@@ -1259,6 +1312,7 @@ def framesync_fixed(
         x, spec.frame_syms, max_frames, threshold, refine, timing_bank,
         equalize, track_sfo, det_override=det_override, fine=fine,
         return_peak_count=return_peak_count, return_hdr_ref=True,
+        ablate=ablate,
     )
     det, syms, (hdr_valid, user, plen, mod, inner, outer), evm_lin = sc[:4]
     peak_count = sc[4] if return_peak_count else None
