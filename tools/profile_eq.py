@@ -114,6 +114,7 @@ def main():
         ("hdr1", {"ablate": ("hdr1",)}),
         ("paytrack", {"track": False}),
         ("noeq", {"equalize": False}),
+        ("noeq_notrack", {"equalize": False, "track": False}),
         ("all_abl", {"ablate": ("trk", "fit2", "eq2", "apply", "hdr1")}),
     ]:
         t = timeit(variant(**kw), x)
