@@ -104,17 +104,64 @@ def arbitrary(x: jax.Array, rate: float, out_len: int, num_phases: int = 32,
     d = base - np.arange(out_len)  # integer shift per output (static)
     runs = np.nonzero(np.diff(d))[0] + 1
     if len(runs) + 1 <= 32:
-        # static-segment fast path: per run, d is constant -> every tap v
-        # reads a STATIC slice x[a+dv : b+dv]
+        # Near-unity (ppm-rate) fast path: FARROW structure. The previous
+        # per-tap shifted-slice stencil made ntaps(=33) separate HBM
+        # passes over the block (measured ~3 ms at 64x65536 — as slow as
+        # the whole RX); a polynomial-in-mu factorization of the
+        # fractional-delay bank, bank(mu)[v] ~= sum_k mu^k C[k, v], turns
+        # it into K+1 FIXED-tap convolutions (ONE MXU conv with K+1 output
+        # features = one pass over the input) plus an elementwise Horner
+        # combine with the exact per-output fractional delay mu — which
+        # also REMOVES the nearest-of-num_phases quantization. The fit and
+        # its residual are trace-time numpy; if the bank is too sharp to
+        # fit (never for this windowed-sinc family), fall back to the
+        # stencil path below.
+        K = 6
+        fine = 256
+        mu_g = np.arange(fine) / fine
+        bank_f = _frac_bank(fine, ntaps, cutoff)  # [fine, ntaps]
+        V = mu_g[:, None] ** np.arange(K + 1)[None, :]
+        C, *_ = np.linalg.lstsq(V, bank_f, rcond=None)  # [K+1, ntaps]
+        resid = float(np.abs(V @ C - bank_f).max())
+        if resid < 1e-3:
+            Dmax = int(abs(d).max())
+            xp = jnp.pad(x, lead + [(half, ntaps + Dmax + 1)])
+            bshape = x.shape[:-1]
+            cplx = jnp.iscomplexobj(x)
+            if cplx:
+                xf = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=0)
+            else:
+                xf = xp.astype(jnp.float32)[None]
+            xf2 = xf.reshape((-1, 1, xf.shape[-1]))  # [P*B, 1, Lp] f32
+            kern = jnp.asarray(C.astype(np.float32))[:, None, :]
+            z = jax.lax.conv_general_dilated(
+                xf2, kern, (1,), "VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            )  # [2*B, K+1, M]; z[:, k, m] = sum_v C[k, v] xp[m + v]
+            mu_j = jnp.asarray(frac.astype(np.float32))
+            bounds = [0, *runs.tolist(), out_len]
+            segs = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                dv = int(d[a])
+                acc = z[:, K, a + dv : b + dv]
+                for k in range(K - 1, -1, -1):
+                    acc = acc * mu_j[a:b] + z[:, k, a + dv : b + dv]
+                segs.append(acc)
+            yf = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+            yf = yf.reshape((2,) + bshape + (out_len,))
+            return (yf[0] + 1j * yf[1]).astype(x.dtype)
+        # stencil fallback: per run, d is constant -> every tap v reads a
+        # STATIC slice x[a+dv : b+dv] (taps transposed so each tap's
+        # per-position vector is a contiguous lane-dim row)
         xp = jnp.pad(x, lead + [(half, ntaps + int(abs(d).max()) + 1)])
-        taps_c = jnp.asarray(taps_np)
+        taps_t = jnp.asarray(np.ascontiguousarray(taps_np.T))  # [ntaps, L]
         bounds = [0, *runs.tolist(), out_len]
         segs = []
         for a, b in zip(bounds[:-1], bounds[1:]):
             dv = int(d[a])
             y = jnp.zeros(x.shape[:-1] + (b - a,), dtype=x.dtype)
             for v in range(ntaps):
-                y = y + xp[..., a + dv + v : b + dv + v] * taps_c[a:b, v]
+                y = y + xp[..., a + dv + v : b + dv + v] * taps_t[v, a:b]
             segs.append(y)
         return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
 
