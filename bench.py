@@ -214,19 +214,21 @@ def bench_config(jax, jnp, cfg, snr_db, require_all=True, transform=None,
 def bench_resampled(jax, jnp, cfg, snr_db):
     """BASELINE config 3: 64 channels with per-channel polyphase
     resampling ahead of detection+decode, all inside the timed jit. Four
-    static ppm groups (the arbitrary resampler compiles per rate; 4x16
-    channels costs the same FLOPs as 64 distinct rates)."""
+    static ppm groups sharing one Farrow conv pass
+    (resample.arbitrary_groups; 4x16 channels costs the same FLOPs as 64
+    distinct rates)."""
     from liquiddsp_tpu.ops import resample
 
     ppms = (-50.0, -20.0, 20.0, 50.0)
-    g = BATCH // len(ppms)
 
     def per_channel_resample(x):
-        parts = [
-            resample.arbitrary(x[i * g : (i + 1) * g], 1.0 + p * 1e-6, BLOCK)
-            for i, p in enumerate(ppms)
-        ]
-        return jnp.concatenate(parts, axis=0).astype(jnp.complex64)
+        rates = tuple(1.0 + p * 1e-6 for p in ppms)
+        # bf16 conv planes + rank 4: ~-50 dB RMS quantization floor,
+        # invisible at the bench's 20 dB SNR (payloads still assert
+        # bit-exact)
+        return resample.arbitrary_groups(
+            x, rates, BLOCK, compute_dtype=jnp.bfloat16, rank=4
+        ).astype(jnp.complex64)
 
     return bench_config(
         jax, jnp, cfg, snr_db, require_all=False,

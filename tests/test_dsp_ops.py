@@ -102,6 +102,48 @@ class TestResample:
         sel = (pos > 20) & (pos < 950)
         np.testing.assert_allclose(y.real[sel], want[sel], atol=5e-3)
 
+    def test_arbitrary_ppm_farrow(self):
+        """Near-unity rates take the Farrow fast path (polynomial-in-mu
+        factorized bank, ops/resample.py): pin its accuracy against direct
+        evaluation of a tone, for complex AND real inputs."""
+        n = np.arange(4096)
+        out_len = 4000
+        for rate, cplx in [(1.0 + 50e-6, True), (1.0 + 50e-6, False),
+                           (1.0 - 500e-6, True), (1.0 + 500e-6, True)]:
+            pos = np.arange(out_len) / rate
+            sel = (pos > 30) & (pos < 4000)
+            if cplx:
+                x = np.exp(2j * np.pi * 0.02 * n).astype(np.complex64)
+                want = np.exp(2j * np.pi * 0.02 * pos)
+            else:
+                x = np.cos(2 * np.pi * 0.02 * n).astype(np.float32)
+                want = np.cos(2 * np.pi * 0.02 * pos)
+            y = np.asarray(resample.arbitrary(jnp.asarray(x[None]), rate, out_len))[0]
+            assert y.dtype == x.dtype
+            np.testing.assert_allclose(y[sel], want[sel], atol=5e-3)
+
+    def test_arbitrary_groups_matches_per_rate(self):
+        """arbitrary_groups (one shared Farrow conv over all channel
+        groups) must match per-group arbitrary() calls; far-from-unity
+        rates take the documented fallback and match exactly."""
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((8, 2048)) + 1j * rng.standard_normal((8, 2048))
+             ).astype(np.complex64)
+        out_len = 2000
+        for rates in [(1.0 + 50e-6, 1.0 - 20e-6, 1.0 + 5e-6, 1.0 - 50e-6),
+                      (1.25, 0.8)]:
+            g = x.shape[0] // len(rates)
+            got = np.asarray(resample.arbitrary_groups(jnp.asarray(x), rates, out_len))
+            want = np.concatenate([
+                np.asarray(resample.arbitrary(jnp.asarray(x[i * g:(i + 1) * g]),
+                                              r, out_len))
+                for i, r in enumerate(rates)
+            ], axis=0)
+            # shared path: the common anti-alias cutoff differs by O(ppm)
+            # from each group's own — bank deltas up to ~6e-4, same order
+            # as the Farrow fit's own 1e-3 residual bound
+            np.testing.assert_allclose(got, want, atol=2e-3)
+
 
 class TestCrc32:
     def test_matches_zlib(self):

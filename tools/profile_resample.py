@@ -75,19 +75,34 @@ def main():
             f"{B*L/max(t-floor,1e-9)/1e9:6.2f} G"
         )
 
-    # the bench's 4-group program
+    # the bench's 4-group program: per-group convs vs one shared conv
     ppms = (-50.0, -20.0, 20.0, 50.0)
     g = B // len(ppms)
+    rates = tuple(1.0 + p * 1e-6 for p in ppms)
 
     def groups(a):
         parts = [
-            resample.arbitrary(a[i * g : (i + 1) * g], 1.0 + p * 1e-6, L)
-            for i, p in enumerate(ppms)
+            resample.arbitrary(a[i * g : (i + 1) * g], r, L)
+            for i, r in enumerate(rates)
         ]
         return jnp.abs(jnp.concatenate(parts, axis=0)).sum()
 
     t = timeit(jax.jit(groups), x)
-    print(f"{'4-group bench':16s} {t*1e3:7.3f} ms  (-floor {(t-floor)*1e3:7.3f})")
+    print(f"{'4-group percall':16s} {t*1e3:7.3f} ms  (-floor {(t-floor)*1e3:7.3f})")
+
+    def grouped(a):
+        return jnp.abs(resample.arbitrary_groups(a, rates, L)).sum()
+
+    t = timeit(jax.jit(grouped), x)
+    print(f"{'4-group shared':16s} {t*1e3:7.3f} ms  (-floor {(t-floor)*1e3:7.3f})")
+
+    def grouped_bf16(a):
+        return jnp.abs(
+            resample.arbitrary_groups(a, rates, L, compute_dtype=jnp.bfloat16)
+        ).sum()
+
+    t = timeit(jax.jit(grouped_bf16), x)
+    print(f"{'4-group bf16':16s} {t*1e3:7.3f} ms  (-floor {(t-floor)*1e3:7.3f})")
 
 
 if __name__ == "__main__":
