@@ -62,6 +62,11 @@ CONFIGS = [
     # violation, no phase dynamics)
     (1, 0, 0, "qpsk_fading_tc2.0", "fading2.0"),
     (1, 0, 0, "qpsk_fading_tc0.5", "fading0.5"),
+    # same sub-frame-coherence channel, coded: the uncoded tc0.5 residual
+    # is deep fades WITHIN the payload (docs/ARCHITECTURE.md) — V27+Golay
+    # spreads each bit across the frame, so this row records the coded
+    # operating point the engine would actually pick under fast fading
+    (1, 1, 1, "qpsk_v27_golay_fading_tc0.5", "fading0.5"),
     (1, 0, 0, "qpsk_ramp30", "ramp"),
 ]
 

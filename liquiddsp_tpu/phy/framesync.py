@@ -982,6 +982,7 @@ def _dd_phase_track(
     iters: int = 2,
     anchor: jax.Array | float = 0.0,
     anchor_slope: jax.Array | float = 0.0,
+    return_weight: bool = False,
 ) -> jax.Array:
     """Decision-directed segment-wise carrier tracking over payload symbols.
 
@@ -1022,6 +1023,8 @@ def _dd_phase_track(
     Differential schemes are returned unchanged (immune by construction).
     """
     if modem.is_differential(mod):
+        if return_weight:
+            return pay, jnp.ones(pay.shape, jnp.float32)
         return pay
     sym_rot = modem.rotational_symmetry(mod)
     m = int(round(2 * np.pi / sym_rot))
@@ -1089,7 +1092,8 @@ def _dd_phase_track(
             )
             flat = p.reshape(pay.shape[:-1] + (nseg * seg,)) * jnp.exp(-1j * phi)
             n_dd = max(iters - 1, 1)
-            return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd)
+            return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd,
+                                   return_weight=return_weight)
         # ``anchor``: external absolute-phase prediction for the CENTER of
         # segment 0 (e.g. extrapolated from the header tail,
         # framesync_fixed) and ``anchor_slope`` its rad/symbol rate —
@@ -1155,10 +1159,12 @@ def _dd_phase_track(
         flat = p.reshape(pay.shape[:-1] + (nseg * seg,))
         n_dd = iters
 
-    return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd)
+    return _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd,
+                            return_weight=return_weight)
 
 
-def _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd, dd_seg=None):
+def _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd, dd_seg=None,
+                    return_weight=False):
     """Independent per-segment decision-directed COMPLEX GAIN passes
     (residual assumed well inside the decision regions).
 
@@ -1185,6 +1191,7 @@ def _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd, dd_seg=None):
     valid = jnp.asarray(
         (np.arange(nseg * seg) < n).reshape(nseg, seg).astype(np.float32)
     )
+    wmag = None
     for _ in range(n_dd):
         p = flat.reshape(pay.shape[:-1] + (nseg, seg))
         idx = modem.demod_hard(p, mod)
@@ -1195,6 +1202,19 @@ def _dd_gain_passes(flat, pay, mod, table, nseg, seg, n, n_dd, dd_seg=None):
         mag = jnp.clip(jnp.abs(g), 0.25, 4.0)
         g = jnp.where(jnp.abs(g) > 1e-6, g / jnp.abs(g), 1.0) * mag
         flat = (p / g[..., None]).reshape(pay.shape[:-1] + (nseg * seg,))
+        if return_weight:
+            # cumulative UNCLAMPED |g| (floored only to keep 1/w^2 finite):
+            # the correction must not blow up a deep-null segment (clamp
+            # above), but the LLR weight SHOULD collapse it toward an
+            # erasure — post-normalization noise there is up by 1/|g|^2
+            m_raw = jnp.clip(jnp.abs(e) / pd, 1e-3, 4.0)
+            wmag = m_raw if wmag is None else wmag * m_raw
+    if return_weight:
+        if wmag is None:
+            w_sym = jnp.ones(pay.shape[:-1] + (n,), jnp.float32)
+        else:
+            w_sym = jnp.repeat(wmag, seg, axis=-1)[..., :n]
+        return flat[..., :n], w_sym
     return flat[..., :n]
 
 
@@ -1205,6 +1225,7 @@ def decode_payload_symbols(
     noise_var: jax.Array | float | None = None,
     anchor: jax.Array | None = None,
     anchor_slope: jax.Array | float = 0.0,
+    slip_retry: bool = False,
 ):
     """Static-config payload back-end: symbols [.., n_syms >= frame_syms] ->
     (payload bytes [..., payload_len], crc_ok bool[...]).
@@ -1265,12 +1286,50 @@ def decode_payload_symbols(
         # V27 union-bound anchor at 2.5 dB via branch slips — robustness
         # across the SNR range wins). AWGN cost vs seg=64: nil
         # (FER_LADDER).
-        pay = _dd_phase_track(pay, cfg.modulation, seg=32)
+        pay, gmag = _dd_phase_track(pay, cfg.modulation, seg=32,
+                                    return_weight=True)
+    else:
+        gmag = None
     if noise_var is None:
         noise_var = 0.1
     nv = jnp.maximum(jnp.asarray(noise_var, jnp.float32), 1e-4)
     if nv.ndim:
-        nv = nv[..., None]  # broadcast over the bit axis
+        nv = nv[..., None]  # broadcast over the per-symbol axis
+    if gmag is not None:
+        # Fading-aware LLR scaling: the gain passes DIVIDED each segment
+        # by its estimated complex gain, so post-normalization noise is up
+        # by 1/|g|^2 there — a faded segment must speak into the Viterbi /
+        # block decoders with proportionally less confidence (uniform nv
+        # fed deep fades in at full confidence and erased the coding gain
+        # under sub-frame fading: coded tc0.5 FER matched UNCODED before
+        # this). |g|~1 on static channels, so AWGN rows are untouched.
+        nv = nv / jnp.square(gmag)
+    if (slip_retry and gmag is not None
+            and not modem.is_differential(cfg.modulation)):
+        # Branch-slip retry (sub-frame fading): across a deep fade the
+        # trajectory chain's fold decision runs blind (confidence-frozen
+        # reference) -- if the true phase moved more than half a symmetry
+        # period during the fade, every post-fade segment comes out
+        # rotated by exactly one symmetry period: CONFIDENTLY wrong
+        # symbols that no LLR weighting can save (the DD gain pass is
+        # rotation-equivariant, so it cannot see the slip either). The
+        # slip point is the least-confident segment (the fade minimum,
+        # read off the gain weights), so decode THREE candidates -- as
+        # tracked, and with +-one period applied from the boundary after
+        # that segment -- and let CRC-24 arbitrate. Fixed 3x payload-
+        # decode cost; off by default on the throughput path.
+        period = modem.rotational_symmetry(cfg.modulation)
+        seg = 32
+        n = pay.shape[-1]
+        conf = gmag[..., ::seg]  # [..., nseg] per-segment weight
+        js = jnp.argmin(conf, axis=-1)  # [...] fade minimum
+        t_idx = jnp.arange(n)
+        mask = (t_idx >= ((js[..., None] + 1) * seg)).astype(jnp.float32)
+        rots = jnp.stack([jnp.zeros_like(mask), mask, -mask], axis=-2)
+        pay = pay[..., None, :] * jnp.exp(1j * period * rots)  # [..., 3, n]
+        nv = nv[..., None, :] if nv.ndim else nv
+    else:
+        rots = None
     llr = modem.demod_soft_bits(pay, cfg.modulation, nv)
     llr = llr[..., : spec.inner_bits]  # drop modulation pad bits
     inv = jnp.asarray(fs.interleave_inv(spec.inner_bits))
@@ -1278,6 +1337,14 @@ def decode_payload_symbols(
     obits = registry.inner_decode(llr, spec.outer_bits, cfg.inner_code)
     msg = registry.outer_decode(obits, spec.payload_msg_bytes, cfg.outer_code)
     crc_ok = crc.crc24_check(msg)
+    if rots is not None:
+        # first CRC pass wins (candidate 0 = as-tracked, so a static
+        # channel always keeps its original decode)
+        pick = jnp.argmax(crc_ok, axis=-1)  # [...]
+        msg = jnp.take_along_axis(
+            msg, pick[..., None, None].astype(jnp.int32), axis=-2
+        )[..., 0, :]
+        crc_ok = jnp.any(crc_ok, axis=-1)
     return msg[..., : cfg.payload_len], crc_ok
 
 
@@ -1295,6 +1362,7 @@ def framesync_fixed(
     track: bool = True,
     noise_var_override: jax.Array | float | None = None,
     return_peak_count: bool = False,
+    slip_retry: bool = False,
     ablate: tuple = (),
 ):
     """Full RX for blocks known to carry frames of one static config.
@@ -1357,7 +1425,8 @@ def framesync_fixed(
     anchor = jnp.angle(q2) + a_slope * 10.0  # extrapolated to h1
 
     payload, crc_ok = decode_payload_symbols(
-        syms, cfg, track=track, noise_var=nv, anchor=anchor, anchor_slope=a_slope
+        syms, cfg, track=track, noise_var=nv, anchor=anchor,
+        anchor_slope=a_slope, slip_retry=slip_retry
     )
     pay_valid = crc_ok & hdr_valid
 
